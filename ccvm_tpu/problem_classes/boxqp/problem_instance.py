@@ -1,0 +1,224 @@
+"""BoxQP problem instances as JAX pytrees.
+
+Functional parity with the reference loader/evaluator
+(``ccvm_simulators/problem_classes/boxqp/problem_instance.py``):
+
+* ``.in`` file format: header line ``size, optimal_sol, best_sol, optimality,
+  sol_time_gb, sol_time_bfgs, seed, num_frac_values`` (``:154-172``), then the
+  V vector, then N rows of Q, then an optional trailing solution vector
+  (``:190-201``).
+* Both V and Q are **negated** on load (``:181-188``): files store a
+  maximization problem, solvers minimize, and ``Solution`` flips the sign
+  back.
+* ``compute_energy`` = ``(0.5 x Q x + V x) * scaled_by`` (``:226-241``).
+* ``scale_coefs`` divides Q and V and multiplies ``scaled_by`` so consecutive
+  scalings stack (``:243-255``).
+
+The implementation is TPU-native: parsing happens once on the host into NumPy
+(optionally via the C++ fast parser in :mod:`ccvm_tpu.native`), the arrays are
+then placed on the requested device and the energy evaluation is a jitted
+batched contraction.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccvm_tpu.runtime import put, validate_device
+
+
+class InstanceType(enum.Enum):
+    """Enumerate instance types (reference ``problem_instance.py:12-17``)."""
+
+    TUNING = "tuning"
+    TEST = "test"
+
+
+@functools.partial(jax.jit)
+def _energy_kernel(confs, q_matrix, v_vector, scaled_by):
+    """Batched BoxQP objective 0.5 xQx + Vx, scaled (reference ``:236-241``)."""
+    qx = jnp.einsum("bi,ij->bj", confs, q_matrix, preferred_element_type=confs.dtype)
+    energy1 = jnp.sum(confs * qx, axis=-1) * scaled_by
+    energy2 = jnp.einsum("bi,i->b", confs, v_vector) * scaled_by
+    return 0.5 * energy1 + energy2
+
+
+def parse_instance_file(file_path: str, file_delimiter: str = "\t"):
+    """Parse a ``.in`` file into host NumPy arrays + metadata dict.
+
+    Uses the C++ tokenizer from :mod:`ccvm_tpu.native` when available for
+    O(N^2) values; falls back to pure Python. Sign conventions match the
+    reference loader exactly (V and Q negated).
+    """
+    with open(file_path, "r") as stream:
+        lines = stream.readlines()
+
+    try:
+        instance_info = lines[0].rstrip("\n").split(file_delimiter)
+        problem_size = int(instance_info[0])
+        meta = {
+            "problem_size": problem_size,
+            "optimal_sol": float(instance_info[1]),
+            "best_sol": float(instance_info[2]),
+            "optimality": instance_info[3].lower() == "true",
+            "sol_time_gb": float(instance_info[4]),
+            "sol_time_bfgs": float(instance_info[5]),
+            # seed = instance_info[6] is discarded, as in the reference (:172)
+            "num_frac_values": int(instance_info[7]),
+        }
+
+        from ccvm_tpu.native import fast_parse_matrix  # lazy; optional C++ path
+
+        body = fast_parse_matrix(
+            lines[1 : problem_size + 2], file_delimiter, problem_size
+        )
+        v_vector = -body[0, :]
+        q_matrix = -body[1:, :]
+
+        solution_vector = []
+        if len(lines) > problem_size + 2:
+            for tok in lines[problem_size + 2].rstrip("\n").split(file_delimiter):
+                if tok != "":
+                    solution_vector.append(float(tok))
+    except Exception as e:  # match the reference's blanket error (:203-204)
+        raise Exception("Error reading instance file: " + str(e))
+
+    return (
+        q_matrix.astype(np.float32),
+        v_vector.astype(np.float32),
+        solution_vector,
+        meta,
+    )
+
+
+class ProblemInstance:
+    """Defines a BoxQP problem instance (reference ``problem_instance.py:20``)."""
+
+    def __init__(
+        self,
+        device="cpu",
+        instance_type="tuning",
+        file_path=None,
+        file_delimiter="\t",
+        name=None,
+        solution_bounds=(0.0, 1.0),
+    ):
+        self.problem_size = None
+        self.optimal_sol = None
+        self.best_sol = None
+        self.optimality = None
+        self.sol_time_gb = None
+        self.sol_time_bfgs = None
+        self.num_frac_values = None
+        self.q_matrix = None
+        self.v_vector = None
+        self.solution_vector = None
+        self.scaled_by = 1
+        self.device = validate_device(device)
+        self._custom_name = False
+        self.file_delimiter = file_delimiter
+        self.file_path = file_path
+
+        instance_values = set(item.value for item in InstanceType)
+        if instance_type in instance_values:
+            self.instance_type = instance_type
+        else:
+            raise ValueError("instance_type must be tuning or test")
+
+        if name:
+            self.name = name
+            self._custom_name = True
+        if file_path:
+            self.load_instance(
+                device=device,
+                instance_type=instance_type,
+                file_path=file_path,
+                file_delimiter=file_delimiter,
+            )
+        self.problem_category = "boxqp"
+        self.solution_bounds = solution_bounds
+
+    @property
+    def solution_bounds(self):
+        """(min, max) allowed in the solution vector (reference ``:97-114``)."""
+        return self._solution_bounds
+
+    @solution_bounds.setter
+    def solution_bounds(self, bounds):
+        if len(bounds) != 2:
+            raise ValueError(
+                "solution_bounds must be a tuple of size 2, containing the"
+                " minimum and maximum bounds (inclusive)"
+            )
+        elif bounds[0] >= bounds[1]:
+            raise ValueError(
+                "Minimum solution bound must be less than maximum solution bound"
+            )
+        else:
+            self._solution_bounds = bounds
+
+    def load_instance(
+        self, device="cpu", instance_type="tuning", file_path=None, file_delimiter=None
+    ):
+        """Loads a box-constrained problem from a file (reference ``:116-224``)."""
+        if not file_path and not self.file_path:
+            raise Exception("No file path specified, cannot load instance.")
+        if file_path:
+            self.file_path = file_path
+        file_path = self.file_path
+
+        if file_delimiter:
+            self.file_delimiter = file_delimiter
+        file_delimiter = self.file_delimiter
+
+        q_np, v_np, solution_vector, meta = parse_instance_file(
+            file_path, file_delimiter
+        )
+
+        self.device = validate_device(device)
+        self.instance_type = instance_type
+        self.problem_size = meta["problem_size"]
+        self.optimal_sol = meta["optimal_sol"]
+        self.best_sol = meta["best_sol"]
+        self.optimality = meta["optimality"]
+        self.sol_time_gb = meta["sol_time_gb"]
+        self.sol_time_bfgs = meta["sol_time_bfgs"]
+        self.num_frac_values = meta["num_frac_values"]
+        self.q_matrix = put(q_np, device)
+        self.v_vector = put(v_np, device)
+        self.solution_vector = solution_vector
+        self.scaled_by = 1
+
+        if not self._custom_name:
+            # Name the instance after the file (reference :221-224)
+            self.name = file_path.split("/")[-1].split(".")[0]
+
+    def compute_energy(self, confs):
+        """Objective value 0.5 xQx + Vx for a batch of configurations
+        (reference ``:226-241``)."""
+        confs = jnp.asarray(confs)
+        q, v = self.q_matrix, self.v_vector
+        # When confs come out of a mesh-sharded solve, replicate the problem
+        # data over the same mesh so the reduction stays distributed.
+        sharding = getattr(confs, "sharding", None)
+        mesh = getattr(sharding, "mesh", None)
+        if mesh is not None and getattr(mesh, "size", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(mesh, PartitionSpec())
+            q = jax.device_put(q, replicated)
+            v = jax.device_put(v, replicated)
+        return _energy_kernel(confs, q, v, jnp.float32(self.scaled_by))
+
+    def scale_coefs(self, scaling_factor):
+        """Divide problem coefficients by ``scaling_factor``; consecutive calls
+        stack multiplicatively (reference ``:243-255``)."""
+        scaling_factor = jnp.asarray(scaling_factor)
+        self.q_matrix = self.q_matrix / scaling_factor
+        self.v_vector = self.v_vector / scaling_factor
+        self.scaled_by = self.scaled_by * float(scaling_factor)

@@ -1,0 +1,94 @@
+"""Parameter tuning for CCVM solvers.
+
+The reference's ``tune()`` is an unimplemented placeholder that crashes on a
+read-only property (``dl_solver.py:327-329``).  Here tuning is a working grid
+search: every candidate parameter set is evaluated on the given tuning
+instances (reduced batch size for speed), scored by the fraction of
+trajectories reaching the 0.1% optimality gap (ties broken by the 1%-gap
+fraction, then best objective), and the winner per problem size becomes the
+solver's ``parameter_key``.
+"""
+
+from __future__ import annotations
+
+import copy
+import itertools
+import logging
+
+logger = logging.getLogger(__name__)
+
+
+def _expand_grid(parameter_ranges: dict):
+    """{'dt': [..], 'sigma': [..]} -> iterator of {'dt': x, 'sigma': y}."""
+    keys = list(parameter_ranges.keys())
+    for combo in itertools.product(*(parameter_ranges[k] for k in keys)):
+        yield dict(zip(keys, combo))
+
+
+def tune_solver(
+    solver,
+    instances,
+    parameter_ranges=None,
+    post_processor=None,
+    tuning_batch_size=200,
+    seed=0,
+    **_,
+):
+    """Grid-search ``parameter_ranges`` per problem size.
+
+    Args:
+        solver: a CCVMSolver with ``parameter_key`` already set (used as the
+            base values; tuned keys override).
+        instances: list of ProblemInstance objects (mixed sizes allowed).
+        parameter_ranges: dict mapping parameter name -> list of candidate
+            values.  When None, each size's current parameters are kept and
+            simply validated by one scoring run.
+        tuning_batch_size: trajectories per scoring run.
+
+    Returns:
+        dict: the winning parameter_key (size -> params).
+    """
+    if solver.parameter_key is None:
+        raise ValueError("Set solver.parameter_key before tuning (base values).")
+
+    base_key = copy.deepcopy(solver.parameter_key)
+    candidates = (
+        list(_expand_grid(parameter_ranges)) if parameter_ranges else [dict()]
+    )
+
+    by_size = {}
+    for inst in instances:
+        by_size.setdefault(inst.problem_size, []).append(inst)
+
+    orig_batch = solver.batch_size
+    solver.batch_size = tuning_batch_size
+    best_key = copy.deepcopy(base_key)
+    try:
+        for size, insts in by_size.items():
+            if size not in base_key:
+                raise KeyError(
+                    f"The parameter key has no entry for problem size {size}."
+                )
+            best_score = None
+            for cand in candidates:
+                params = dict(base_key[size])
+                params.update(cand)
+                solver._parameter_key = {**base_key, size: params}
+                opt_frac = one_frac = best_obj = 0.0
+                for inst in insts:
+                    solution = solver(
+                        inst, post_processor=post_processor, seed=seed
+                    )
+                    perf = solution.solution_performance
+                    opt_frac += perf["optimal"]
+                    one_frac += perf["one_percent"]
+                    best_obj += solution.best_objective_value
+                score = (opt_frac, one_frac, best_obj)
+                logger.info("tune size=%s cand=%s score=%s", size, cand, score)
+                if best_score is None or score > best_score:
+                    best_score = score
+                    best_key[size] = params
+    finally:
+        solver.batch_size = orig_batch
+        solver._parameter_key = best_key
+    return best_key

@@ -1,0 +1,116 @@
+"""Problem-instance tests (strategy mirrors the reference's
+``tests/unit/problem_classes/test_problem_instance.py``, with golden values
+from our exactly-solved bundled instances)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ccvm_tpu.problem_classes.boxqp import ProblemInstance
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "..", "data")
+TEST002 = os.path.join(DATA, "test002.in")
+TEST004 = os.path.join(DATA, "test004.in")
+TEST020 = os.path.join(DATA, "test020.in")
+
+
+class TestConstruction:
+    def test_defaults(self):
+        inst = ProblemInstance()
+        assert inst.device == "cpu"
+        assert inst.instance_type == "tuning"
+        assert inst.problem_size is None
+        assert inst.scaled_by == 1
+
+    def test_invalid_instance_type(self):
+        with pytest.raises(ValueError, match="tuning or test"):
+            ProblemInstance(instance_type="bogus")
+
+    def test_invalid_device(self):
+        with pytest.raises(ValueError, match="not available"):
+            ProblemInstance(device="quantum")
+
+    def test_custom_name_kept_after_load(self):
+        inst = ProblemInstance(name="myname", file_path=TEST002)
+        assert inst.name == "myname"
+
+    def test_name_from_file(self):
+        inst = ProblemInstance(file_path=TEST002)
+        assert inst.name == "test002"
+
+    def test_load_without_path_raises(self):
+        inst = ProblemInstance()
+        with pytest.raises(Exception, match="No file path"):
+            inst.load_instance()
+
+
+class TestLoadGoldenValues:
+    def test_header_metadata(self):
+        inst = ProblemInstance(file_path=TEST002)
+        assert inst.problem_size == 2
+        assert inst.optimal_sol == pytest.approx(2.0)
+        assert inst.best_sol == pytest.approx(2.0)
+        assert inst.optimality is True
+        assert inst.sol_time_gb == pytest.approx(0.01)
+        assert inst.num_frac_values == 0
+
+    def test_signs_negated_on_load(self):
+        """Files store a maximization problem; loader negates Q and V
+        (reference problem_instance.py:181-188)."""
+        inst = ProblemInstance(file_path=TEST002)
+        np.testing.assert_allclose(
+            np.asarray(inst.q_matrix), [[2.0, -1.0], [-1.0, 2.0]]
+        )
+        np.testing.assert_allclose(np.asarray(inst.v_vector), [-2.0, -1.0])
+
+    def test_solution_vector_parsed(self):
+        inst = ProblemInstance(file_path=TEST002)
+        assert inst.solution_vector == [1.0, 1.0]
+
+    def test_compute_energy_at_optimum(self):
+        """Energy of the stored argmax must equal -optimal (minimization
+        convention)."""
+        inst = ProblemInstance(file_path=TEST004)
+        x = np.asarray(inst.solution_vector)[None, :]
+        e = float(inst.compute_energy(x)[0])
+        assert e == pytest.approx(-inst.optimal_sol, abs=1e-4)
+
+    def test_compute_energy_batch(self):
+        inst = ProblemInstance(file_path=TEST002)
+        confs = np.array([[0.0, 0.0], [1.0, 1.0], [0.5, 0.5]], np.float32)
+        e = np.asarray(inst.compute_energy(confs))
+        # f_min(x) = 0.5 x^T[[2,-1],[-1,2]]x + [-2,-1]x
+        np.testing.assert_allclose(e, [0.0, -2.0, -1.25], atol=1e-6)
+
+
+class TestScaling:
+    def test_scale_coefs_divides_and_stacks(self):
+        inst = ProblemInstance(file_path=TEST002)
+        q0 = np.asarray(inst.q_matrix).copy()
+        inst.scale_coefs(2.0)
+        inst.scale_coefs(2.0)
+        np.testing.assert_allclose(np.asarray(inst.q_matrix), q0 / 4.0)
+        assert inst.scaled_by == pytest.approx(4.0)
+
+    def test_energy_invariant_under_scaling(self):
+        inst = ProblemInstance(file_path=TEST020)
+        confs = np.random.RandomState(0).uniform(0, 1, (5, 20)).astype(np.float32)
+        e0 = np.asarray(inst.compute_energy(confs))
+        inst.scale_coefs(3.7)
+        e1 = np.asarray(inst.compute_energy(confs))
+        np.testing.assert_allclose(e0, e1, rtol=1e-5)
+
+
+class TestSolutionBounds:
+    def test_default(self):
+        inst = ProblemInstance(file_path=TEST002)
+        assert inst.solution_bounds == (0.0, 1.0)
+
+    def test_wrong_length(self):
+        with pytest.raises(ValueError, match="tuple of size 2"):
+            ProblemInstance(file_path=TEST002, solution_bounds=(0.0, 1.0, 2.0))
+
+    def test_min_ge_max(self):
+        with pytest.raises(ValueError, match="less than maximum"):
+            ProblemInstance(file_path=TEST002, solution_bounds=(1.0, 0.0))

@@ -1,0 +1,62 @@
+"""Multi-device sharding consistency: a mesh-sharded solve must produce the
+same results as the single-device solve (same PRNG keys, same math) — run on
+the 8-device virtual CPU platform configured in conftest.py."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ccvm_tpu import LangevinSolver, MFSolver, ProblemInstance
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+TEST020 = os.path.join(DATA, "test020.in")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = np.array(jax.devices())
+    assert len(devices) == 8, "conftest should provide 8 virtual devices"
+    return Mesh(devices, ("batch",))
+
+
+def _solve(solver_cls, pkey, mesh, seed, **call_kw):
+    solver = solver_cls(device="cpu", batch_size=64, mesh=mesh)
+    solver.parameter_key = pkey
+    inst = ProblemInstance(instance_type="test", file_path=TEST020, device="cpu")
+    inst.scale_coefs(solver.get_scaling_factor(inst.q_matrix))
+    return solver(inst, seed=seed, **call_kw)
+
+
+LANGEVIN_KEY = {
+    20: {"dt": 0.002, "S": 0.5, "iterations": 200, "sigma": 0.5,
+         "feedback_scale": 1.0}
+}
+MF_KEY = {
+    20: {"pump": 0.0, "feedback_scale": 4000, "j": 5.0, "S": 20.0,
+         "dt": 0.0025, "iterations": 200}
+}
+
+
+def test_langevin_sharded_matches_single_device(mesh):
+    sharded = _solve(LangevinSolver, LANGEVIN_KEY, mesh, seed=5)
+    single = _solve(LangevinSolver, LANGEVIN_KEY, None, seed=5)
+    np.testing.assert_allclose(
+        np.asarray(sharded.objective_values),
+        np.asarray(single.objective_values),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_mf_sharded_matches_single_device(mesh):
+    sharded = _solve(MFSolver, MF_KEY, mesh, seed=6)
+    single = _solve(MFSolver, MF_KEY, None, seed=6)
+    np.testing.assert_allclose(
+        np.asarray(sharded.objective_values),
+        np.asarray(single.objective_values),
+        rtol=1e-4,
+        atol=1e-4,
+    )
