@@ -1,0 +1,83 @@
+"""Headline benchmark: DL-CCVM SDE throughput on one chip.
+
+Workload matches the reference's documented example (N=20 BoxQP, batch 1000,
+15000 Euler-Maruyama iterations — ``docs/source/dl_ccvm_sde.rst`` reports
+15.929 s for it).  We time a warm solve and report trajectory-iterations per
+second; ``vs_baseline`` is the speedup over the reference's published number.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+ITERATIONS = 15000
+BATCH = 1000
+BASELINE_WALL_S = 15.929  # reference docs example block (same workload)
+
+
+def main():
+    import jax
+
+    from ccvm_tpu import DLSolver, ProblemInstance
+    from ccvm_tpu.runtime import default_device
+
+    device = default_device()
+    instance = ProblemInstance(
+        instance_type="test",
+        file_path=os.path.join(REPO, "tests", "data", "test020.in"),
+        device=device,
+    )
+    solver = DLSolver(device=device, batch_size=BATCH)
+    solver.parameter_key = {
+        20: {
+            "pump": 8.0,
+            "feedback_scale": 100,
+            "dt": 0.001,
+            "iterations": ITERATIONS,
+            "noise_ratio": 10,
+        }
+    }
+    instance.scale_coefs(solver.get_scaling_factor(instance.q_matrix))
+
+    # Warm-up (compile)
+    solver(instance, seed=0)
+
+    # Timed warm runs: best of 3
+    best_wall = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        solution = solver(instance, seed=rep + 1)
+        wall = time.perf_counter() - t0
+        best_wall = min(best_wall, wall)
+
+    traj_iters_per_sec = ITERATIONS * BATCH / best_wall
+    baseline_rate = ITERATIONS * BATCH / BASELINE_WALL_S
+    print(
+        json.dumps(
+            {
+                "metric": "dl_ccvm_sde_throughput_n20_b1000_i15000",
+                "value": round(traj_iters_per_sec, 1),
+                "unit": "trajectory-iterations/s",
+                "vs_baseline": round(traj_iters_per_sec / baseline_rate, 2),
+            }
+        )
+    )
+    # Context lines on stderr (driver reads stdout's single JSON line)
+    print(
+        f"# device={jax.devices()[0].device_kind} wall={best_wall:.4f}s"
+        f" best_objective={solution.best_objective_value:.4f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+from ccvm_tpu.parallel.mesh import make_batch_mesh, make_mesh
+from ccvm_tpu.parallel.tp import dl_sharded_solve, make_dl_sharded_solve
+
+__all__ = [
+    "make_batch_mesh",
+    "make_mesh",
+    "dl_sharded_solve",
+    "make_dl_sharded_solve",
+]
