@@ -23,6 +23,17 @@ ITERATIONS = 15000
 BATCH = 1000
 BASELINE_WALL_S = 15.929  # reference docs example block (same workload)
 
+# Prefer the reference's bundled single test instance (known optimum
+# 130.714187) so success fractions are comparable; fall back to our own
+# generated fixture when the reference checkout isn't present.
+_INSTANCE_CANDIDATES = [
+    "/root/reference/examples/benchmarking_instances/single_test_instance/"
+    "tuningH020-100-0.in",
+    os.path.join(REPO, "examples", "benchmarking_instances",
+                 "single_test_instance", "tuningH020-100-0.in"),
+    os.path.join(REPO, "tests", "data", "test020.in"),
+]
+
 
 def main():
     import jax
@@ -31,9 +42,10 @@ def main():
     from ccvm_tpu.runtime import default_device
 
     device = default_device()
+    instance_path = next(p for p in _INSTANCE_CANDIDATES if os.path.exists(p))
     instance = ProblemInstance(
         instance_type="test",
-        file_path=os.path.join(REPO, "tests", "data", "test020.in"),
+        file_path=instance_path,
         device=device,
     )
     solver = DLSolver(device=device, batch_size=BATCH)
@@ -74,7 +86,10 @@ def main():
     # Context lines on stderr (driver reads stdout's single JSON line)
     print(
         f"# device={jax.devices()[0].device_kind} wall={best_wall:.4f}s"
-        f" best_objective={solution.best_objective_value:.4f}",
+        f" instance={os.path.basename(instance_path)}"
+        f" best_objective={solution.best_objective_value:.4f}"
+        f" optimal={instance.optimal_sol}"
+        f" success={solution.solution_performance}",
         file=sys.stderr,
     )
 

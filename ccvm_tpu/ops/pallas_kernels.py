@@ -1,29 +1,611 @@
-"""Pallas TPU kernel implementations (placeholder until the kernel milestone).
+"""Fused Pallas TPU kernels: the ENTIRE SDE solve in one kernel launch.
 
-All entry points return None, signalling the façade to use the lax.scan path.
+The reference integrates its Euler-Maruyama loops at Python level — one (or
+several) CUDA kernel launches *per iteration* for 15k iterations
+(``ccvm_simulators/solvers/dl_solver.py:523``).  The lax.scan path already
+fuses per-step work; these kernels go further and keep the whole loop
+on-chip:
+
+  * Q (padded to 128x128 lanes) and V live in VMEM for the entire solve;
+  * the trajectory state (batch, n) stays in VMEM — zero HBM traffic in the
+    hot loop for the bundled problem sizes (N <= 70, batch <= ~8k);
+  * the batched matvec runs on the MXU (``jnp.dot`` with
+    ``preferred_element_type=float32``);
+  * Wiener increments come from the TPU hardware PRNG
+    (``pltpu.prng_random_bits``) through a Box-Muller transform — no HBM
+    noise tensors, no host RNG;
+  * iteration-dependent schedules (pump rate, noise ratio, measurement
+    strength) are computed on the scalar unit in-loop.
+
+Numerical parity: drift math matches :mod:`ccvm_tpu.dynamics` exactly (tested
+noise-free against the lax oracle); noise matches distributionally (the
+reference's torch RNG can only ever match statistically anyway — SURVEY.md
+section 7 "RNG semantics").
+
+Every ``*_solve`` returns ``None`` when the configuration doesn't fit the
+kernel (too big for VMEM, sharded mesh run, non-scalar S) so callers fall
+back to the lax.scan path.
 """
 
 from __future__ import annotations
 
+import functools
 
-def langevin_solve(key, q_matrix, v_vector, params, *, iterations, batch_size):
-    return None
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANE = 128
+_SUBLANE = 8
+# Conservative VMEM budget for state + temporaries (bytes).
+_VMEM_BUDGET = 10 * 1024 * 1024
+_TWO_PI = 6.283185307179586
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_problem(q_matrix, v_vector):
+    """Zero-pad Q to (NP, NP) and V to (1, NP) with NP a lane multiple."""
+    n = q_matrix.shape[0]
+    np_ = _round_up(max(n, LANE), LANE)
+    q = jnp.zeros((np_, np_), jnp.float32).at[:n, :n].set(
+        q_matrix.astype(jnp.float32)
+    )
+    v = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(
+        v_vector.astype(jnp.float32)
+    )
+    return q, v, n, np_
+
+
+def _seed_from_key(key):
+    """Derive an int32 kernel seed from a JAX PRNG key (shape (1, 1))."""
+    return jax.random.randint(
+        key, (1, 1), minval=0, maxval=np.int32(2**31 - 1), dtype=jnp.int32
+    )
+
+
+def _vmem_ok(tile: int, np_: int, n_state_arrays: int) -> bool:
+    state = tile * np_ * 4 * (n_state_arrays + 4)  # + temporaries
+    fixed = np_ * np_ * 4 + 4 * np_
+    return state + fixed <= _VMEM_BUDGET
+
+
+def _tile_plan(batch: int, np_: int, n_state_arrays: int):
+    """(padded_batch, tile, grid) so each grid program's state fits VMEM.
+
+    Grid programs run sequentially on the core; tiling costs only the Q/V
+    revisit (free: constant index map) and padding waste, so we pick the
+    largest tile that fits and split the batch as evenly as possible.
+    """
+    pb = _round_up(batch, _SUBLANE)
+    fixed = np_ * np_ * 4 + 4 * np_
+    per_row = np_ * 4 * (n_state_arrays + 4)
+    max_t = max((_VMEM_BUDGET - fixed) // per_row // _SUBLANE * _SUBLANE,
+                _SUBLANE)
+    if max_t >= pb:
+        return pb, pb, 1
+    k = -(-pb // max_t)
+    tile = _round_up(-(-pb // k), _SUBLANE)
+    return tile * k, tile, k
+
+
+def _normal_pair(shape):
+    """Two independent N(0,1) arrays via Box-Muller over hardware PRNG bits.
+
+    Uses 23-bit uniforms (exact in float32).  u1 is mapped to (0, 1] so the
+    log is always finite.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    m23 = jnp.int32(0x7FFFFF)
+    inv = jnp.float32(1.0 / (1 << 23))
+    u1 = ((b1 & m23).astype(jnp.float32) + 1.0) * inv  # (0, 1]
+    u2 = (b2 & m23).astype(jnp.float32) * inv  # [0, 1)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _noise_pair(shape, mask, noise_scale):
+    """Masked, scaled normal pair; statically elides the PRNG when
+    ``noise_scale == 0`` (the deterministic test mode — interpret-mode CPU
+    runs lack the TPU PRNG primitives)."""
+    if noise_scale == 0.0:
+        z = jnp.zeros(shape, jnp.float32)
+        return z, z
+    z1, z2 = _normal_pair(shape)
+    return z1 * (mask * noise_scale), z2 * (mask * noise_scale)
+
+
+def _maybe_seed(seed_ref, noise_scale):
+    """Seed the hardware PRNG with an independent stream per grid program."""
+    if noise_scale == 0.0:
+        return
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+
+def _col_mask(batch, np_, n):
+    """(batch, np_) float32 mask: 1 on real columns, 0 on padding."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (batch, np_), dimension=1)
+    return (cols < n).astype(jnp.float32)
+
+
+def _in_specs(pl, pltpu, params_shape, np_):
+    """Input specs shared by all kernels: seed + params in SMEM, Q and V in
+    VMEM, all with constant index maps (fetched once across the batch grid)."""
+    return [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(params_shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((np_, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _matvec(x, q_ref):
+    return jnp.dot(x, q_ref[:], preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Langevin
+# ---------------------------------------------------------------------------
+
+
+def _langevin_kernel(
+    iterations, n, noise_scale, seed_ref, params_ref, q_ref, v_ref, c_ref
+):
+    """dc = dt*fs*(-(xQ + V)*(u-l)/(2S)) + sigma*sqrt(dt)*dW; clamp each step
+    (reference ``langevin_solver.py:368-435``)."""
+    _maybe_seed(seed_ref, noise_scale)
+    S = params_ref[0, 0]
+    dt = params_ref[0, 1]
+    sigma = params_ref[0, 2]
+    fs = params_ref[0, 3]
+    lo = params_ref[0, 4]
+    hi = params_ref[0, 5]
+    sqrt_dt = jnp.sqrt(dt)
+    scale = (hi - lo) / (2.0 * S)
+    mid = (hi + lo) / 2.0
+    batch, np_ = c_ref.shape
+    mask = _col_mask(batch, np_, n)
+    v_row = v_ref[0, :]
+
+    c_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+
+    def body(i, _):
+        c = c_ref[:]
+        x = c * scale + mid
+        drift = -(_matvec(x, q_ref) + v_row) * scale
+        w, _ = _noise_pair((batch, np_), mask, noise_scale)
+        c = c + dt * fs * drift + sigma * sqrt_dt * w
+        c_ref[:] = jnp.clip(c, -S, S)
+        return 0
+
+    jax.lax.fori_loop(0, iterations, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "batch_size", "interpret", "noise_scale"),
+)
+def _langevin_call(
+    key, q_matrix, v_vector, params_vec, *, iterations, batch_size, interpret,
+    noise_scale,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, v, n, np_ = _pad_problem(q_matrix, v_vector)
+    pb, tile, grid = _tile_plan(batch_size, np_, 1)
+    kernel = functools.partial(_langevin_kernel, iterations, n, noise_scale)
+    c = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        out_specs=pl.BlockSpec(
+            (tile, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(_seed_from_key(key), params_vec, q, v)
+    return c[:batch_size, :n]
+
+
+def langevin_solve(
+    key, q_matrix, v_vector, params, *, iterations, batch_size,
+    interpret=False, noise_scale=1.0,
+):
+    """Fused Langevin solve, or None if the config doesn't fit the kernel."""
+    n = q_matrix.shape[0]
+    np_ = _round_up(max(n, LANE), LANE)
+    if np.ndim(params.S) != 0:
+        return None
+    params_vec = jnp.stack(
+        [
+            jnp.float32(params.S),
+            jnp.float32(params.dt),
+            jnp.float32(params.sigma),
+            jnp.float32(params.feedback_scale),
+            jnp.float32(params.lower_limit),
+            jnp.float32(params.upper_limit),
+        ]
+    ).reshape(1, -1)
+    return _langevin_call(
+        key, q_matrix, v_vector, params_vec,
+        iterations=int(iterations), batch_size=int(batch_size),
+        interpret=interpret, noise_scale=float(noise_scale),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pumped Langevin
+# ---------------------------------------------------------------------------
+
+
+def _pumped_langevin_kernel(
+    iterations, n, pump_rate_flag, noise_scale,
+    seed_ref, params_ref, q_ref, v_ref, c_ref,
+):
+    """dc = dt*((-1 + p(i) - c^2)c + fs*grads) + sigma*sqrt(dt)*dW; clamp
+    (reference ``pumped_langevin_solver.py:232-309``)."""
+    _maybe_seed(seed_ref, noise_scale)
+    pump = params_ref[0, 0]
+    S = params_ref[0, 1]
+    dt = params_ref[0, 2]
+    sigma = params_ref[0, 3]
+    fs = params_ref[0, 4]
+    lo = params_ref[0, 5]
+    hi = params_ref[0, 6]
+    T = params_ref[0, 7]
+    sqrt_dt = jnp.sqrt(dt)
+    scale = (hi - lo) / (2.0 * S)
+    mid = (hi + lo) / 2.0
+    batch, np_ = c_ref.shape
+    mask = _col_mask(batch, np_, n)
+    v_row = v_ref[0, :]
+
+    c_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+
+    def body(i, _):
+        c = c_ref[:]
+        fi = i.astype(jnp.float32)
+        pump_i = pump * (fi + 1.0) / T if pump_rate_flag else pump
+        x = c * scale + mid
+        grads = -_matvec(x, q_ref) * scale - v_row * scale
+        drift = (-1.0 + pump_i - jnp.square(c)) * c + fs * grads
+        w, _ = _noise_pair((batch, np_), mask, noise_scale)
+        c = c + dt * drift + sigma * sqrt_dt * w
+        c_ref[:] = jnp.clip(c, -S, S)
+        return 0
+
+    jax.lax.fori_loop(0, iterations, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "batch_size", "pump_rate_flag", "interpret",
+        "noise_scale",
+    ),
+)
+def _pumped_langevin_call(
+    key, q_matrix, v_vector, params_vec, *, iterations, batch_size,
+    pump_rate_flag, interpret, noise_scale,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, v, n, np_ = _pad_problem(q_matrix, v_vector)
+    pb, tile, grid = _tile_plan(batch_size, np_, 1)
+    kernel = functools.partial(
+        _pumped_langevin_kernel, iterations, n, pump_rate_flag, noise_scale
+    )
+    c = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        out_specs=pl.BlockSpec(
+            (tile, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(_seed_from_key(key), params_vec, q, v)
+    return c[:batch_size, :n]
 
 
 def pumped_langevin_solve(
-    key, q_matrix, v_vector, params, *, iterations, batch_size, pump_rate_flag
+    key, q_matrix, v_vector, params, *, iterations, batch_size,
+    pump_rate_flag, interpret=False, noise_scale=1.0,
 ):
-    return None
+    n = q_matrix.shape[0]
+    np_ = _round_up(max(n, LANE), LANE)
+    if np.ndim(params.S) != 0:
+        return None
+    params_vec = jnp.stack(
+        [
+            jnp.float32(params.pump),
+            jnp.float32(params.S),
+            jnp.float32(params.dt),
+            jnp.float32(params.sigma),
+            jnp.float32(params.feedback_scale),
+            jnp.float32(params.lower_limit),
+            jnp.float32(params.upper_limit),
+            jnp.float32(params.iterations),
+        ]
+    ).reshape(1, -1)
+    return _pumped_langevin_call(
+        key, q_matrix, v_vector, params_vec,
+        iterations=int(iterations), batch_size=int(batch_size),
+        pump_rate_flag=bool(pump_rate_flag), interpret=interpret,
+        noise_scale=float(noise_scale),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DL-CCVM
+# ---------------------------------------------------------------------------
+
+
+def _dl_kernel(
+    iterations, n, pump_rate_flag, pump_is_gt_one, noise_scale,
+    seed_ref, params_ref, q_ref, v_ref, c_ref, s_ref,
+):
+    """Two-quadrature pump-saturated SDE (reference ``dl_solver.py:468-569``);
+    drift math mirrors :func:`ccvm_tpu.dynamics.dl.drift_boxqp`."""
+    _maybe_seed(seed_ref, noise_scale)
+    pump = params_ref[0, 0]
+    S_user = params_ref[0, 1]
+    dt = params_ref[0, 2]
+    noise_ratio = params_ref[0, 3]
+    fs = params_ref[0, 4]
+    g = params_ref[0, 5]
+    lo = params_ref[0, 6]
+    hi = params_ref[0, 7]
+    T = params_ref[0, 8]
+    # Drift-internal saturation override S_d (dl_solver.py:140-141)
+    S_d = jnp.sqrt(pump - 1.0) if pump_is_gt_one else S_user
+    sqrt_dt = jnp.sqrt(dt)
+    span = hi - lo
+    mid = hi + lo
+    g3 = v_ref[0, :] * span / (2.0 * S_d)
+    batch, np_ = c_ref.shape
+    mask = _col_mask(batch, np_, n)
+
+    c_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+    s_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+
+    def body(i, _):
+        c = c_ref[:]
+        s = s_ref[:]
+        fi = i.astype(jnp.float32)
+        rate = (fi + 1.0) / T if pump_rate_flag else jnp.float32(1.0)
+        nr_i = (noise_ratio - 1.0) * jnp.exp(-(fi + 1.0) / T * 3.0) + 1.0
+        c_pow = jnp.square(c)
+        s_pow = jnp.square(s)
+        x_c = c * span / S_d + mid
+        x_s = s * span / S_d + mid
+        fb_c = 0.25 * _matvec(x_c, q_ref) * span / S_d
+        fb_s = 0.25 * _matvec(x_s, q_ref) * span / S_d
+        fs_dyn = fs * (0.5 + rate)
+        c_drift = -fs_dyn * (fb_c + g3) + (-1.0 + pump * rate - c_pow - s_pow) * c
+        s_drift = -fs_dyn * (fb_s + g3) + (-1.0 - pump * rate - c_pow - s_pow) * s
+        w_c, w_s = _noise_pair((batch, np_), mask, noise_scale)
+        w_c = w_c * (sqrt_dt * nr_i)
+        w_s = w_s * (sqrt_dt / nr_i)
+        diff = 2.0 * g * jnp.sqrt(c_pow + s_pow + 0.5)
+        c_ref[:] = c + dt * c_drift + diff * w_c
+        s_ref[:] = s + dt * s_drift + diff * w_s
+        return 0
+
+    jax.lax.fori_loop(0, iterations, body, 0)
+    # Final clamp to the *original* +-S (dl_solver.py:567)
+    c_ref[:] = jnp.clip(c_ref[:], -S_user, S_user)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "batch_size", "pump_rate_flag", "pump_is_gt_one",
+        "interpret", "noise_scale",
+    ),
+)
+def _dl_call(
+    key, q_matrix, v_vector, params_vec, *, iterations, batch_size,
+    pump_rate_flag, pump_is_gt_one, interpret, noise_scale,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, v, n, np_ = _pad_problem(q_matrix, v_vector)
+    pb, tile, grid = _tile_plan(batch_size, np_, 2)
+    kernel = functools.partial(
+        _dl_kernel, iterations, n, pump_rate_flag, pump_is_gt_one, noise_scale
+    )
+    tile_spec = pl.BlockSpec(
+        (tile, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    c, s = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=(
+            jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+        ),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        out_specs=(tile_spec, tile_spec),
+        interpret=interpret,
+    )(_seed_from_key(key), params_vec, q, v)
+    return c[:batch_size, :n], s[:batch_size, :n]
 
 
 def dl_solve(
-    key, q_matrix, v_vector, params, *, iterations, batch_size, pump_rate_flag,
-    pump_is_gt_one,
+    key, q_matrix, v_vector, params, *, iterations, batch_size,
+    pump_rate_flag, pump_is_gt_one, interpret=False, noise_scale=1.0,
 ):
-    return None
+    n = q_matrix.shape[0]
+    np_ = _round_up(max(n, LANE), LANE)
+    if np.ndim(params.S) != 0:
+        return None
+    params_vec = jnp.stack(
+        [
+            jnp.float32(params.pump),
+            jnp.float32(params.S),
+            jnp.float32(params.dt),
+            jnp.float32(params.noise_ratio),
+            jnp.float32(params.feedback_scale),
+            jnp.float32(params.g),
+            jnp.float32(params.lower_limit),
+            jnp.float32(params.upper_limit),
+            jnp.float32(params.iterations),
+        ]
+    ).reshape(1, -1)
+    return _dl_call(
+        key, q_matrix, v_vector, params_vec,
+        iterations=int(iterations), batch_size=int(batch_size),
+        pump_rate_flag=bool(pump_rate_flag),
+        pump_is_gt_one=bool(pump_is_gt_one), interpret=interpret,
+        noise_scale=float(noise_scale),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MF-CCVM
+# ---------------------------------------------------------------------------
+
+
+def _mf_kernel(
+    iterations, n, pump_rate_flag, noise_scale,
+    seed_ref, params_ref, q_ref, v_ref, mu_ref, mt_ref, sigma_ref,
+):
+    """Measurement-feedback SDE over (mu, sigma) with measured field mu_tilde
+    (reference ``mf_solver.py:493-593``).  The SAME Wiener draw feeds the
+    measured field and the mu diffusion; the readout mu_tilde is the last
+    iteration's (pre-update) value — both preserved here."""
+    _maybe_seed(seed_ref, noise_scale)
+    pump = params_ref[0, 0]
+    S = params_ref[0, 1]
+    dt = params_ref[0, 2]
+    j = params_ref[0, 3]
+    fs = params_ref[0, 4]
+    g = params_ref[0, 5]
+    lo = params_ref[0, 6]
+    hi = params_ref[0, 7]
+    T = params_ref[0, 8]
+    sqrt_dt = jnp.sqrt(dt)
+    span = hi - lo
+    mid = hi + lo
+    g_sq = jnp.square(g)
+    batch, np_ = mu_ref.shape
+    mask = _col_mask(batch, np_, n)
+    v_row = v_ref[0, :]
+
+    mu_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+    mt_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+    sigma_ref[:] = jnp.full((batch, np_), 0.5, jnp.float32)
+
+    def body(i, _):
+        mu = mu_ref[:]
+        sigma = sigma_ref[:]
+        fi = i.astype(jnp.float32)
+        j_i = j * jnp.exp(-(fi + 1.0) / T * 3.0)
+        w, _ = _noise_pair((batch, np_), mask, noise_scale)
+        w_inc = w / sqrt_dt
+        mu_tilde = mu + jnp.sqrt(1.0 / (4.0 * j_i)) * w_inc
+        mu_tilde_c = jnp.clip(mu_tilde, -S, S)
+        rate = (fi + 1.0) / T if pump_rate_flag else jnp.float32(1.0)
+        pump_inst = pump * rate + 1.0 + j_i
+        mu_pow = jnp.square(mu)
+        x = mu_tilde_c * span / S + mid
+        fb = -0.25 * _matvec(x, q_ref) * span / S - v_row * span / (2.0 * S)
+        drift_mu = (-(1.0 + j_i) + pump_inst - g_sq * mu_pow) * mu + fs * fb
+        drift_sigma = (
+            2.0 * (-(1.0 + j_i) + pump_inst - 3.0 * g_sq * mu_pow) * sigma
+            - 2.0 * j_i * jnp.square(sigma - 0.5)
+            + (1.0 + j_i)
+            + 2.0 * g_sq * mu_pow
+        )
+        mu_diffusion = jnp.sqrt(j_i) * (sigma - 0.5) * w_inc
+        mu_ref[:] = mu + dt * (drift_mu + mu_diffusion)
+        sigma_ref[:] = sigma + dt * drift_sigma
+        mt_ref[:] = mu_tilde
+        return 0
+
+    jax.lax.fori_loop(0, iterations, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "batch_size", "pump_rate_flag", "interpret",
+        "noise_scale",
+    ),
+)
+def _mf_call(
+    key, q_matrix, v_vector, params_vec, *, iterations, batch_size,
+    pump_rate_flag, interpret, noise_scale,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, v, n, np_ = _pad_problem(q_matrix, v_vector)
+    pb, tile, grid = _tile_plan(batch_size, np_, 3)
+    kernel = functools.partial(
+        _mf_kernel, iterations, n, pump_rate_flag, noise_scale
+    )
+    tile_spec = pl.BlockSpec(
+        (tile, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    mu, mt, sigma = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=(
+            jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+        ),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        out_specs=(tile_spec, tile_spec, tile_spec),
+        interpret=interpret,
+    )(_seed_from_key(key), params_vec, q, v)
+    S = params_vec[0, 1]
+    mt = jnp.clip(mt, -S, S)  # final readout clamp (mf_solver.py:591-593)
+    return (
+        mu[:batch_size, :n],
+        mt[:batch_size, :n],
+        sigma[:batch_size, :n],
+    )
 
 
 def mf_solve(
-    key, q_matrix, v_vector, params, *, iterations, batch_size, pump_rate_flag
+    key, q_matrix, v_vector, params, *, iterations, batch_size,
+    pump_rate_flag, interpret=False, noise_scale=1.0,
 ):
-    return None
+    n = q_matrix.shape[0]
+    np_ = _round_up(max(n, LANE), LANE)
+    if np.ndim(params.S) != 0:
+        return None
+    params_vec = jnp.stack(
+        [
+            jnp.float32(params.pump),
+            jnp.float32(params.S),
+            jnp.float32(params.dt),
+            jnp.float32(params.j),
+            jnp.float32(params.feedback_scale),
+            jnp.float32(params.g),
+            jnp.float32(params.lower_limit),
+            jnp.float32(params.upper_limit),
+            jnp.float32(params.iterations),
+        ]
+    ).reshape(1, -1)
+    return _mf_call(
+        key, q_matrix, v_vector, params_vec,
+        iterations=int(iterations), batch_size=int(batch_size),
+        pump_rate_flag=bool(pump_rate_flag), interpret=interpret,
+        noise_scale=float(noise_scale),
+    )

@@ -1,0 +1,44 @@
+"""MF-CCVM example: solve the bundled single test instance with grad-descent
+post-processing (parity with the reference's ``examples/ccvm_boxqp_mf.py``,
+params per its ``:16-25,:45``)."""
+
+import glob
+
+from ccvm_tpu.problem_classes.boxqp import ProblemInstance
+from ccvm_tpu.runtime import default_device
+from ccvm_tpu.solvers import MFSolver
+
+TEST_INSTANCES_DIR_NAME = "single_test_instance"
+TEST_INSTANCES_PATH = f"./benchmarking_instances/{TEST_INSTANCES_DIR_NAME}/"
+
+if __name__ == "__main__":
+    batch_size = 1000
+    solver = MFSolver(device=default_device(), batch_size=batch_size)
+
+    solver.parameter_key = {
+        20: {
+            "pump": 0.0,
+            "feedback_scale": 4000,
+            "j": 5.0,
+            "S": 20.0,
+            "dt": 0.0025,
+            "iterations": 1500,
+        },
+    }
+
+    test_instances_files = [f for f in glob.glob(TEST_INSTANCES_PATH + "*.in")]
+    for instance_file in test_instances_files:
+        boxqp_instance = ProblemInstance(
+            instance_type="test",
+            file_path=instance_file,
+            device=solver.device,
+        )
+
+        boxqp_instance.scale_coefs(solver.get_scaling_factor(boxqp_instance.q_matrix))
+
+        solution = solver(
+            instance=boxqp_instance,
+            post_processor="grad-descent",
+        )
+
+        print(solution)

@@ -1,0 +1,176 @@
+"""Pallas-kernel-vs-lax-oracle equivalence tests (SURVEY.md section 4).
+
+The kernels run in interpreter mode on CPU with ``noise_scale=0``, which
+statically elides the TPU hardware PRNG; the lax oracle's noise is patched to
+zero.  With noise off both paths are deterministic, so the drift math,
+schedules, clamps, and change-of-variable handling must agree to float32
+round-off.  (Noise-on statistical agreement is validated on real TPU
+hardware; see tools/tpu_validate.py.)
+"""
+
+from __future__ import annotations
+
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccvm_tpu.dynamics import common
+from ccvm_tpu.dynamics import dl as dldyn
+from ccvm_tpu.dynamics import langevin as lgv
+from ccvm_tpu.dynamics import mf as mfdyn
+from ccvm_tpu.dynamics import pumped_langevin as plgv
+from ccvm_tpu.ops import pallas_kernels as pk
+
+N = 20
+BATCH = 16
+ITERS = 50
+TOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.RandomState(0)
+    a = rng.randn(N, N).astype(np.float32)
+    q = jnp.asarray((a + a.T) / 2)
+    v = jnp.asarray(rng.randn(N).astype(np.float32))
+    return q, v
+
+
+def _zeros_normal(key, shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
+
+
+def test_langevin_kernel_matches_lax_oracle(problem):
+    q, v = problem
+    key = jax.random.PRNGKey(0)
+    p = lgv.LangevinParams(
+        S=jnp.float32(0.5), dt=jnp.float32(0.002), sigma=jnp.float32(0.5),
+        feedback_scale=jnp.float32(1.0), lower_limit=jnp.float32(0.0),
+        upper_limit=jnp.float32(1.0),
+    )
+    with mock.patch.object(common, "normal", _zeros_normal):
+        c_lax = lgv.solve(key, q, v, p, iterations=ITERS, batch_size=BATCH)
+    c_pal = pk.langevin_solve(
+        key, q, v, p, iterations=ITERS, batch_size=BATCH,
+        interpret=True, noise_scale=0.0,
+    )
+    np.testing.assert_allclose(c_pal, c_lax, atol=TOL)
+
+
+def test_pumped_langevin_kernel_matches_lax_oracle(problem):
+    q, v = problem
+    key = jax.random.PRNGKey(0)
+    p = plgv.PumpedLangevinParams(
+        pump=jnp.float32(2.0), S=jnp.float32(0.5), dt=jnp.float32(0.002),
+        sigma=jnp.float32(0.5), feedback_scale=jnp.float32(1.0),
+        lower_limit=jnp.float32(0.0), upper_limit=jnp.float32(1.0),
+        iterations=jnp.float32(ITERS),
+    )
+    with mock.patch.object(common, "normal", _zeros_normal):
+        c_lax = plgv.solve(
+            key, q, v, p, iterations=ITERS, batch_size=BATCH,
+            pump_rate_flag=True,
+        )
+    c_pal = pk.pumped_langevin_solve(
+        key, q, v, p, iterations=ITERS, batch_size=BATCH,
+        pump_rate_flag=True, interpret=True, noise_scale=0.0,
+    )
+    np.testing.assert_allclose(c_pal, c_lax, atol=TOL)
+
+
+@pytest.mark.parametrize("pump_is_gt_one", [True, False])
+def test_dl_kernel_matches_lax_oracle(problem, pump_is_gt_one):
+    q, v = problem
+    key = jax.random.PRNGKey(0)
+    pump = 8.0 if pump_is_gt_one else 0.5
+    p = dldyn.DLParams(
+        pump=jnp.float32(pump), S=jnp.float32(1.0), dt=jnp.float32(0.001),
+        noise_ratio=jnp.float32(10.0), feedback_scale=jnp.float32(100.0),
+        g=jnp.float32(0.05), lower_limit=jnp.float32(0.0),
+        upper_limit=jnp.float32(1.0), iterations=jnp.float32(ITERS),
+    )
+    with mock.patch.object(common, "normal", _zeros_normal):
+        c_lax, s_lax = dldyn.solve(
+            key, q, v, p, iterations=ITERS, batch_size=BATCH,
+            pump_rate_flag=True, pump_is_gt_one=pump_is_gt_one,
+        )
+    c_pal, s_pal = pk.dl_solve(
+        key, q, v, p, iterations=ITERS, batch_size=BATCH,
+        pump_rate_flag=True, pump_is_gt_one=pump_is_gt_one,
+        interpret=True, noise_scale=0.0,
+    )
+    np.testing.assert_allclose(c_pal, c_lax, atol=TOL)
+    np.testing.assert_allclose(s_pal, s_lax, atol=TOL)
+
+
+def test_mf_kernel_matches_lax_oracle(problem):
+    q, v = problem
+    key = jax.random.PRNGKey(0)
+    p = mfdyn.MFParams(
+        pump=jnp.float32(0.0), S=jnp.float32(20.0), dt=jnp.float32(0.0025),
+        j=jnp.float32(5.0), feedback_scale=jnp.float32(4000.0),
+        g=jnp.float32(0.001), lower_limit=jnp.float32(0.0),
+        upper_limit=jnp.float32(1.0), iterations=jnp.float32(ITERS),
+    )
+    with mock.patch.object(common, "normal", _zeros_normal):
+        mu_lax, mt_lax, sg_lax = mfdyn.solve(
+            key, q, v, p, iterations=ITERS, batch_size=BATCH,
+            pump_rate_flag=True,
+        )
+    mu_pal, mt_pal, sg_pal = pk.mf_solve(
+        key, q, v, p, iterations=ITERS, batch_size=BATCH,
+        pump_rate_flag=True, interpret=True, noise_scale=0.0,
+    )
+    np.testing.assert_allclose(mu_pal, mu_lax, atol=TOL)
+    np.testing.assert_allclose(mt_pal, mt_lax, atol=TOL)
+    np.testing.assert_allclose(sg_pal, sg_lax, atol=TOL)
+
+
+def test_kernel_rejects_per_variable_s(problem):
+    """Per-variable S configs fall back to the lax path (return None)."""
+    q, v = problem
+    key = jax.random.PRNGKey(0)
+    p = lgv.LangevinParams(
+        S=jnp.ones((4, N), jnp.float32) * 0.5, dt=jnp.float32(0.002),
+        sigma=jnp.float32(0.5), feedback_scale=jnp.float32(1.0),
+        lower_limit=jnp.float32(0.0), upper_limit=jnp.float32(1.0),
+    )
+    assert pk.langevin_solve(
+        key, q, v, p, iterations=2, batch_size=4, interpret=True
+    ) is None
+
+
+def test_tile_plan_splits_large_batches():
+    pb, tile, grid = pk._tile_plan(1000, 128, 2)
+    assert (pb, tile, grid) == (1000, 1000, 1)
+    pb, tile, grid = pk._tile_plan(100_000, 128, 2)
+    assert tile * grid == pb >= 100_000
+    assert pk._vmem_ok(tile, 128, 2)
+    # even split: padding waste is bounded by one sublane per grid program
+    assert pb - 100_000 <= 8 * grid
+
+
+def test_langevin_kernel_tiled_matches_lax_oracle(problem, monkeypatch):
+    """Force multi-program tiling (tiny VMEM budget) and check the grid path
+    agrees with the lax oracle noise-free."""
+    q, v = problem
+    key = jax.random.PRNGKey(0)
+    monkeypatch.setattr(pk, "_VMEM_BUDGET", 128 * 1024)
+    p = lgv.LangevinParams(
+        S=jnp.float32(0.5), dt=jnp.float32(0.002), sigma=jnp.float32(0.5),
+        feedback_scale=jnp.float32(1.0), lower_limit=jnp.float32(0.0),
+        upper_limit=jnp.float32(1.0),
+    )
+    batch = 64
+    _, _, grid = pk._tile_plan(batch, 128, 1)
+    assert grid > 1
+    with mock.patch.object(common, "normal", _zeros_normal):
+        c_lax = lgv.solve(key, q, v, p, iterations=ITERS, batch_size=batch)
+    c_pal = pk.langevin_solve(
+        key, q, v, p, iterations=ITERS, batch_size=batch,
+        interpret=True, noise_scale=0.0,
+    )
+    np.testing.assert_allclose(c_pal, c_lax, atol=TOL)
