@@ -1,0 +1,167 @@
+"""Benchmarking sweep: all solvers x sizes x instances -> metadata + TTS.
+
+The reference's ``examples/benchmarking_study.py`` is an unimplemented stub
+(commented pseudocode with an invalid module-level ``return``, ``:8-20``);
+this is the real thing.  For every selected solver and problem size it solves
+every instance in the set, accumulates Solution metadata (identical JSON
+schema to the reference so ccvmplotlib consumes it directly), writes one
+metadata file per solver, and prints a success-probability / wall-clock
+summary.  On TPU each solve runs the fused Pallas kernel; with ``--mesh N``
+the trajectory batch is sharded over an N-device mesh instead.
+
+Usage:
+    python examples/benchmarking_study.py --instances-dir ./benchmarking_instances \
+        [--solvers dl,mf,langevin,pumped] [--sizes 20,30] [--batch-size 1000] \
+        [--iterations 15000] [--post-processor grad-descent] [--output-dir ./metadata] \
+        [--plots] [--mesh N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ccvm_tpu.metadata import Metadata  # noqa: E402
+from ccvm_tpu.problem_classes.boxqp import ProblemInstance  # noqa: E402
+from ccvm_tpu.runtime import default_device  # noqa: E402
+from ccvm_tpu.solvers import (  # noqa: E402
+    DLSolver,
+    LangevinSolver,
+    MFSolver,
+    PumpedLangevinSolver,
+)
+
+# Paper-default parameters (docs/source/ccvm_equations_of_motion.rst table and
+# the reference examples); one entry per solver, applied to every size.
+DEFAULTS = {
+    "dl": {
+        "pump": 8.0, "feedback_scale": 100, "dt": 0.001, "noise_ratio": 10,
+    },
+    "mf": {
+        "pump": 0.0, "feedback_scale": 4000, "j": 5.0, "S": 20.0, "dt": 0.0025,
+    },
+    "langevin": {
+        "dt": 0.002, "S": 0.5, "sigma": 0.5, "feedback_scale": 1.0,
+    },
+    "pumped": {
+        "pump": 2.0, "dt": 0.002, "S": 0.5, "sigma": 0.5, "feedback_scale": 1.0,
+    },
+}
+
+SOLVER_CLASSES = {
+    "dl": DLSolver,
+    "mf": MFSolver,
+    "langevin": LangevinSolver,
+    "pumped": PumpedLangevinSolver,
+}
+
+MACHINES = {"dl": "dl-ccvm", "mf": "mf-ccvm", "langevin": "fpga", "pumped": "cpu"}
+
+
+def build_solver(name, device, batch_size, sizes, iterations, mesh=None):
+    solver = SOLVER_CLASSES[name](device=device, batch_size=batch_size, mesh=mesh)
+    params = dict(DEFAULTS[name])
+    params["iterations"] = iterations
+    solver.parameter_key = {size: dict(params) for size in sizes}
+    return solver
+
+
+def run_sweep(args):
+    device = default_device()
+    mesh = None
+    if args.mesh:
+        from ccvm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+
+    sizes = [int(s) for s in args.sizes.split(",") if s]
+    solver_names = [s.strip() for s in args.solvers.split(",") if s.strip()]
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    summary = []
+    for name in solver_names:
+        solver = build_solver(
+            name, device, args.batch_size, sizes, args.iterations, mesh
+        )
+        metadata = Metadata(device=device)
+        for size in sizes:
+            pattern = os.path.join(args.instances_dir, f"Size{size}", "*.in")
+            files = sorted(glob.glob(pattern))
+            if not files:
+                print(f"[{name}] no instances for size {size} ({pattern})")
+                continue
+            n_opt = 0
+            t0 = time.perf_counter()
+            for idx, instance_file in enumerate(files):
+                instance = ProblemInstance(
+                    instance_type="tuning",
+                    file_path=instance_file,
+                    device=device,
+                )
+                instance.scale_coefs(
+                    solver.get_scaling_factor(instance.q_matrix)
+                )
+                solution = solver(
+                    instance,
+                    post_processor=args.post_processor or None,
+                    seed=args.seed + idx,
+                )
+                metadata.add_to_result_metadata(solution.get_metadata_dict())
+                n_opt += solution.solution_performance["optimal"]
+            wall = time.perf_counter() - t0
+            mean_opt = n_opt / len(files)
+            summary.append((name, size, len(files), mean_opt, wall))
+            print(
+                f"[{name}] size {size}: {len(files)} instances, "
+                f"mean P(optimal)={mean_opt:.3f}, wall {wall:.2f}s"
+            )
+        metadata_path = metadata.save_metadata_to_file(
+            file_dir=args.output_dir, file_name=f"{name}_benchmark"
+        )
+        print(f"[{name}] metadata -> {metadata_path}")
+
+        if args.plots:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from ccvm_tpu.ccvmplotlib import ccvmplotlib
+
+            fig, ax = ccvmplotlib.plot_TTS(
+                metadata_filepath=metadata_path,
+                problem="BoxQP",
+                machine_time_func=solver.machine_time(machine=MACHINES[name]),
+            )
+            ccvmplotlib.apply_default_tts_styling(fig, ax)
+            plot_path = os.path.join(args.output_dir, f"{name}_TTS.png")
+            fig.savefig(plot_path)
+            print(f"[{name}] TTS plot -> {plot_path}")
+
+    print("\n=== Sweep summary ===")
+    print(f"{'solver':<10}{'size':>6}{'n':>5}{'P(optimal)':>12}{'wall_s':>9}")
+    for name, size, n, p, wall in summary:
+        print(f"{name:<10}{size:>6}{n:>5}{p:>12.3f}{wall:>9.2f}")
+    return summary
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--instances-dir",
+        default=os.path.join(os.path.dirname(__file__), "benchmarking_instances"),
+    )
+    ap.add_argument("--solvers", default="dl,mf,langevin,pumped")
+    ap.add_argument("--sizes", default="20,30,40,50,60,70")
+    ap.add_argument("--batch-size", type=int, default=1000)
+    ap.add_argument("--iterations", type=int, default=15000)
+    ap.add_argument("--post-processor", default="grad-descent")
+    ap.add_argument("--output-dir", default="./metadata")
+    ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the batch over an N-device mesh")
+    ap.add_argument("--seed", type=int, default=0)
+    run_sweep(ap.parse_args())

@@ -3,6 +3,11 @@ post-processing (parity with the reference's ``examples/ccvm_boxqp_mf.py``,
 params per its ``:16-25,:45``)."""
 
 import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from ccvm_tpu.problem_classes.boxqp import ProblemInstance
 from ccvm_tpu.runtime import default_device

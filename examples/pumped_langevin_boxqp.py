@@ -2,6 +2,11 @@
 reference's ``examples/pumped_langevin_boxqp.py``, params per its ``:16-25``)."""
 
 import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from ccvm_tpu.problem_classes.boxqp import ProblemInstance
 from ccvm_tpu.runtime import default_device
