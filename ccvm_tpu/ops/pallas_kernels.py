@@ -47,16 +47,31 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pad_problem(q_matrix, v_vector):
-    """Zero-pad Q to (NP, NP) and V to (1, NP) with NP a lane multiple."""
-    n = q_matrix.shape[0]
+    """Zero-pad stacked problems for the kernels.
+
+    Accepts ``(n, n)``/``(n,)`` (one instance) or ``(I, n, n)``/``(I, n)``
+    (instance-sweep stacking).  Q instances are folded into row-blocks —
+    ``(I * NP, NP)`` — so a 2-D ``(instance, batch-tile)`` grid can index
+    instance ``i``'s Q as plain block row ``i`` and every kernel body stays
+    rank-2.  Returns ``(q, v, n, np_, num_instances)``.
+    """
+    q3 = q_matrix if q_matrix.ndim == 3 else q_matrix[None]
+    v2 = v_vector if v_vector.ndim == 2 else v_vector[None]
+    num_instances, n = q3.shape[0], q3.shape[1]
     np_ = _round_up(max(n, LANE), LANE)
-    q = jnp.zeros((np_, np_), jnp.float32).at[:n, :n].set(
-        q_matrix.astype(jnp.float32)
+    q = (
+        jnp.zeros((num_instances, np_, np_), jnp.float32)
+        .at[:, :n, :n]
+        .set(q3.astype(jnp.float32))
+        .reshape(num_instances * np_, np_)
     )
-    v = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(
-        v_vector.astype(jnp.float32)
+    # V is rank-3 (I, 1, NP): the TPU lowering requires the block's trailing
+    # two dims to equal the array's (or be sublane/lane multiples), which a
+    # (1, NP) block over an (I, NP) array violates for I > 1.
+    v = jnp.zeros((num_instances, 1, np_), jnp.float32).at[:, 0, :n].set(
+        v2.astype(jnp.float32)
     )
-    return q, v, n, np_
+    return q, v, n, np_, num_instances
 
 
 def _seed_from_key(key):
@@ -122,13 +137,17 @@ def _noise_pair(shape, mask, noise_scale):
 
 
 def _maybe_seed(seed_ref, noise_scale):
-    """Seed the hardware PRNG with an independent stream per grid program."""
+    """Seed the hardware PRNG with an independent stream per grid program.
+
+    The grid is always 2-D ``(instance, batch_tile)``; the flattened program
+    id keeps streams distinct across both axes."""
     if noise_scale == 0.0:
         return
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0, 0] + pid)
 
 
 def _col_mask(batch, np_, n):
@@ -139,13 +158,32 @@ def _col_mask(batch, np_, n):
 
 def _in_specs(pl, pltpu, params_shape, np_):
     """Input specs shared by all kernels: seed + params in SMEM, Q and V in
-    VMEM, all with constant index maps (fetched once across the batch grid)."""
+    VMEM.  Q/V index by the instance grid axis only, so they are fetched once
+    per instance and stay VMEM-resident across the batch-tile axis."""
     return [
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec(params_shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((np_, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(params_shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((np_, np_), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, np_), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
     ]
+
+
+def _out_spec(pl, pltpu, tile, np_, tiles_per_instance):
+    """Output spec: instance i's batch rows live at block rows
+    [i * tiles_per_instance, (i + 1) * tiles_per_instance)."""
+    return pl.BlockSpec(
+        (tile, np_),
+        lambda i, j: (i * tiles_per_instance + j, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _unstack(out, stacked, num_instances, pb, batch_size, n):
+    """(I*pb, np_) kernel output -> (I, batch, n), or (batch, n) unstacked."""
+    out = out.reshape(num_instances, pb, -1)[:, :batch_size, :n]
+    return out if stacked else out[0]
 
 
 def _matvec(x, q_ref):
@@ -174,7 +212,7 @@ def _langevin_kernel(
     mid = (hi + lo) / 2.0
     batch, np_ = c_ref.shape
     mask = _col_mask(batch, np_, n)
-    v_row = v_ref[0, :]
+    v_row = v_ref[0, 0, :]
 
     c_ref[:] = jnp.zeros((batch, np_), jnp.float32)
 
@@ -201,20 +239,19 @@ def _langevin_call(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    q, v, n, np_ = _pad_problem(q_matrix, v_vector)
-    pb, tile, grid = _tile_plan(batch_size, np_, 1)
+    stacked = q_matrix.ndim == 3
+    q, v, n, np_, num_instances = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(batch_size, np_, 1)
     kernel = functools.partial(_langevin_kernel, iterations, n, noise_scale)
     c = pl.pallas_call(
         kernel,
-        grid=(grid,),
-        out_shape=jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+        grid=(num_instances, k),
+        out_shape=jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
         in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
-        out_specs=pl.BlockSpec(
-            (tile, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=_out_spec(pl, pltpu, tile, np_, k),
         interpret=interpret,
     )(_seed_from_key(key), params_vec, q, v)
-    return c[:batch_size, :n]
+    return _unstack(c, stacked, num_instances, pb, batch_size, n)
 
 
 def langevin_solve(
@@ -222,8 +259,6 @@ def langevin_solve(
     interpret=False, noise_scale=1.0,
 ):
     """Fused Langevin solve, or None if the config doesn't fit the kernel."""
-    n = q_matrix.shape[0]
-    np_ = _round_up(max(n, LANE), LANE)
     if np.ndim(params.S) != 0:
         return None
     params_vec = jnp.stack(
@@ -268,7 +303,7 @@ def _pumped_langevin_kernel(
     mid = (hi + lo) / 2.0
     batch, np_ = c_ref.shape
     mask = _col_mask(batch, np_, n)
-    v_row = v_ref[0, :]
+    v_row = v_ref[0, 0, :]
 
     c_ref[:] = jnp.zeros((batch, np_), jnp.float32)
 
@@ -301,30 +336,27 @@ def _pumped_langevin_call(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    q, v, n, np_ = _pad_problem(q_matrix, v_vector)
-    pb, tile, grid = _tile_plan(batch_size, np_, 1)
+    stacked = q_matrix.ndim == 3
+    q, v, n, np_, num_instances = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(batch_size, np_, 1)
     kernel = functools.partial(
         _pumped_langevin_kernel, iterations, n, pump_rate_flag, noise_scale
     )
     c = pl.pallas_call(
         kernel,
-        grid=(grid,),
-        out_shape=jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+        grid=(num_instances, k),
+        out_shape=jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
         in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
-        out_specs=pl.BlockSpec(
-            (tile, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=_out_spec(pl, pltpu, tile, np_, k),
         interpret=interpret,
     )(_seed_from_key(key), params_vec, q, v)
-    return c[:batch_size, :n]
+    return _unstack(c, stacked, num_instances, pb, batch_size, n)
 
 
 def pumped_langevin_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
     pump_rate_flag, interpret=False, noise_scale=1.0,
 ):
-    n = q_matrix.shape[0]
-    np_ = _round_up(max(n, LANE), LANE)
     if np.ndim(params.S) != 0:
         return None
     params_vec = jnp.stack(
@@ -373,7 +405,7 @@ def _dl_kernel(
     sqrt_dt = jnp.sqrt(dt)
     span = hi - lo
     mid = hi + lo
-    g3 = v_ref[0, :] * span / (2.0 * S_d)
+    g3 = v_ref[0, 0, :] * span / (2.0 * S_d)
     batch, np_ = c_ref.shape
     mask = _col_mask(batch, np_, n)
 
@@ -422,34 +454,34 @@ def _dl_call(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    q, v, n, np_ = _pad_problem(q_matrix, v_vector)
-    pb, tile, grid = _tile_plan(batch_size, np_, 2)
+    stacked = q_matrix.ndim == 3
+    q, v, n, np_, num_instances = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(batch_size, np_, 2)
     kernel = functools.partial(
         _dl_kernel, iterations, n, pump_rate_flag, pump_is_gt_one, noise_scale
     )
-    tile_spec = pl.BlockSpec(
-        (tile, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    tile_spec = _out_spec(pl, pltpu, tile, np_, k)
     c, s = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(num_instances, k),
         out_shape=(
-            jax.ShapeDtypeStruct((pb, np_), jnp.float32),
-            jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
         ),
         in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
         out_specs=(tile_spec, tile_spec),
         interpret=interpret,
     )(_seed_from_key(key), params_vec, q, v)
-    return c[:batch_size, :n], s[:batch_size, :n]
+    return (
+        _unstack(c, stacked, num_instances, pb, batch_size, n),
+        _unstack(s, stacked, num_instances, pb, batch_size, n),
+    )
 
 
 def dl_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
     pump_rate_flag, pump_is_gt_one, interpret=False, noise_scale=1.0,
 ):
-    n = q_matrix.shape[0]
-    np_ = _round_up(max(n, LANE), LANE)
     if np.ndim(params.S) != 0:
         return None
     params_vec = jnp.stack(
@@ -503,7 +535,7 @@ def _mf_kernel(
     g_sq = jnp.square(g)
     batch, np_ = mu_ref.shape
     mask = _col_mask(batch, np_, n)
-    v_row = v_ref[0, :]
+    v_row = v_ref[0, 0, :]
 
     mu_ref[:] = jnp.zeros((batch, np_), jnp.float32)
     mt_ref[:] = jnp.zeros((batch, np_), jnp.float32)
@@ -553,21 +585,20 @@ def _mf_call(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    q, v, n, np_ = _pad_problem(q_matrix, v_vector)
-    pb, tile, grid = _tile_plan(batch_size, np_, 3)
+    stacked = q_matrix.ndim == 3
+    q, v, n, np_, num_instances = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(batch_size, np_, 3)
     kernel = functools.partial(
         _mf_kernel, iterations, n, pump_rate_flag, noise_scale
     )
-    tile_spec = pl.BlockSpec(
-        (tile, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    tile_spec = _out_spec(pl, pltpu, tile, np_, k)
     mu, mt, sigma = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(num_instances, k),
         out_shape=(
-            jax.ShapeDtypeStruct((pb, np_), jnp.float32),
-            jax.ShapeDtypeStruct((pb, np_), jnp.float32),
-            jax.ShapeDtypeStruct((pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
         ),
         in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
         out_specs=(tile_spec, tile_spec, tile_spec),
@@ -576,9 +607,9 @@ def _mf_call(
     S = params_vec[0, 1]
     mt = jnp.clip(mt, -S, S)  # final readout clamp (mf_solver.py:591-593)
     return (
-        mu[:batch_size, :n],
-        mt[:batch_size, :n],
-        sigma[:batch_size, :n],
+        _unstack(mu, stacked, num_instances, pb, batch_size, n),
+        _unstack(mt, stacked, num_instances, pb, batch_size, n),
+        _unstack(sigma, stacked, num_instances, pb, batch_size, n),
     )
 
 
@@ -586,8 +617,6 @@ def mf_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
     pump_rate_flag, interpret=False, noise_scale=1.0,
 ):
-    n = q_matrix.shape[0]
-    np_ = _round_up(max(n, LANE), LANE)
     if np.ndim(params.S) != 0:
         return None
     params_vec = jnp.stack(

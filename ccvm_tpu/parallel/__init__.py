@@ -1,4 +1,5 @@
 from ccvm_tpu.parallel.mesh import make_batch_mesh, make_mesh
+from ccvm_tpu.parallel.sweep import sweep_solve
 from ccvm_tpu.parallel.tp import dl_sharded_solve, make_dl_sharded_solve
 
 __all__ = [
@@ -6,4 +7,5 @@ __all__ = [
     "make_mesh",
     "dl_sharded_solve",
     "make_dl_sharded_solve",
+    "sweep_solve",
 ]

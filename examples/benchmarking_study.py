@@ -97,22 +97,45 @@ def run_sweep(args):
                 continue
             n_opt = 0
             t0 = time.perf_counter()
-            for idx, instance_file in enumerate(files):
-                instance = ProblemInstance(
-                    instance_type="tuning",
-                    file_path=instance_file,
-                    device=device,
-                )
-                instance.scale_coefs(
-                    solver.get_scaling_factor(instance.q_matrix)
-                )
-                solution = solver(
-                    instance,
+            if args.sweep:
+                # One vmapped jit over ALL instances of this size
+                # (ccvm_tpu.parallel.sweep) instead of a serial per-file loop.
+                from ccvm_tpu.parallel import sweep_solve
+
+                instances = [
+                    ProblemInstance(
+                        instance_type="tuning", file_path=f, device=device
+                    )
+                    for f in files
+                ]
+                solutions = sweep_solve(
+                    solver,
+                    instances,
                     post_processor=args.post_processor or None,
-                    seed=args.seed + idx,
+                    seed=args.seed,
+                    scale=True,
+                    mesh=mesh,
                 )
-                metadata.add_to_result_metadata(solution.get_metadata_dict())
-                n_opt += solution.solution_performance["optimal"]
+                for solution in solutions:
+                    metadata.add_to_result_metadata(solution.get_metadata_dict())
+                    n_opt += solution.solution_performance["optimal"]
+            else:
+                for idx, instance_file in enumerate(files):
+                    instance = ProblemInstance(
+                        instance_type="tuning",
+                        file_path=instance_file,
+                        device=device,
+                    )
+                    instance.scale_coefs(
+                        solver.get_scaling_factor(instance.q_matrix)
+                    )
+                    solution = solver(
+                        instance,
+                        post_processor=args.post_processor or None,
+                        seed=args.seed + idx,
+                    )
+                    metadata.add_to_result_metadata(solution.get_metadata_dict())
+                    n_opt += solution.solution_performance["optimal"]
             wall = time.perf_counter() - t0
             mean_opt = n_opt / len(files)
             summary.append((name, size, len(files), mean_opt, wall))
@@ -163,5 +186,8 @@ if __name__ == "__main__":
     ap.add_argument("--plots", action="store_true")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the batch over an N-device mesh")
+    ap.add_argument("--sweep", action="store_true",
+                    help="vmap all instances of a size into one jit "
+                         "(instance-sweep parallelism)")
     ap.add_argument("--seed", type=int, default=0)
     run_sweep(ap.parse_args())

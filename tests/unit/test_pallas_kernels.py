@@ -174,3 +174,108 @@ def test_langevin_kernel_tiled_matches_lax_oracle(problem, monkeypatch):
         interpret=True, noise_scale=0.0,
     )
     np.testing.assert_allclose(c_pal, c_lax, atol=TOL)
+
+
+@pytest.fixture(scope="module")
+def stacked_problem():
+    rng = np.random.RandomState(3)
+    qs, vs = [], []
+    for _ in range(3):
+        a = rng.randn(N, N).astype(np.float32)
+        qs.append((a + a.T) / 2)
+        vs.append(rng.randn(N).astype(np.float32))
+    return jnp.asarray(np.stack(qs)), jnp.asarray(np.stack(vs))
+
+
+def test_stacked_langevin_kernel_matches_per_instance(stacked_problem):
+    """The (instance, batch_tile) grid must reproduce per-instance kernel
+    calls exactly in the noise-free mode."""
+    qs, vs = stacked_problem
+    key = jax.random.PRNGKey(0)
+    p = lgv.LangevinParams(
+        S=jnp.float32(0.5), dt=jnp.float32(0.002), sigma=jnp.float32(0.5),
+        feedback_scale=jnp.float32(1.0), lower_limit=jnp.float32(0.0),
+        upper_limit=jnp.float32(1.0),
+    )
+    c_stacked = pk.langevin_solve(
+        key, qs, vs, p, iterations=ITERS, batch_size=BATCH,
+        interpret=True, noise_scale=0.0,
+    )
+    assert c_stacked.shape == (3, BATCH, N)
+    for i in range(3):
+        c_one = pk.langevin_solve(
+            key, qs[i], vs[i], p, iterations=ITERS, batch_size=BATCH,
+            interpret=True, noise_scale=0.0,
+        )
+        np.testing.assert_allclose(c_stacked[i], c_one, atol=TOL)
+
+
+def test_stacked_dl_kernel_matches_lax_oracle(stacked_problem):
+    qs, vs = stacked_problem
+    key = jax.random.PRNGKey(0)
+    p = dldyn.DLParams(
+        pump=jnp.float32(8.0), S=jnp.float32(1.0), dt=jnp.float32(0.001),
+        noise_ratio=jnp.float32(10.0), feedback_scale=jnp.float32(100.0),
+        g=jnp.float32(0.05), lower_limit=jnp.float32(0.0),
+        upper_limit=jnp.float32(1.0), iterations=jnp.float32(ITERS),
+    )
+    c_st, s_st = pk.dl_solve(
+        key, qs, vs, p, iterations=ITERS, batch_size=BATCH,
+        pump_rate_flag=True, pump_is_gt_one=True,
+        interpret=True, noise_scale=0.0,
+    )
+    assert c_st.shape == (3, BATCH, N)
+    with mock.patch.object(common, "normal", _zeros_normal):
+        for i in range(3):
+            c_lax, s_lax = dldyn.solve(
+                key, qs[i], vs[i], p, iterations=ITERS, batch_size=BATCH,
+                pump_rate_flag=True, pump_is_gt_one=True,
+            )
+            np.testing.assert_allclose(c_st[i], c_lax, atol=TOL)
+            np.testing.assert_allclose(s_st[i], s_lax, atol=TOL)
+
+
+def test_stacked_mf_kernel_matches_lax_oracle(stacked_problem):
+    qs, vs = stacked_problem
+    key = jax.random.PRNGKey(0)
+    p = mfdyn.MFParams(
+        pump=jnp.float32(0.0), S=jnp.float32(20.0), dt=jnp.float32(0.0025),
+        j=jnp.float32(5.0), feedback_scale=jnp.float32(4000.0),
+        g=jnp.float32(0.001), lower_limit=jnp.float32(0.0),
+        upper_limit=jnp.float32(1.0), iterations=jnp.float32(ITERS),
+    )
+    mu_st, mt_st, sg_st = pk.mf_solve(
+        key, qs, vs, p, iterations=ITERS, batch_size=BATCH,
+        pump_rate_flag=True, interpret=True, noise_scale=0.0,
+    )
+    with mock.patch.object(common, "normal", _zeros_normal):
+        for i in range(3):
+            mu_lax, mt_lax, sg_lax = mfdyn.solve(
+                key, qs[i], vs[i], p, iterations=ITERS, batch_size=BATCH,
+                pump_rate_flag=True,
+            )
+            np.testing.assert_allclose(mu_st[i], mu_lax, atol=TOL)
+            np.testing.assert_allclose(mt_st[i], mt_lax, atol=TOL)
+            np.testing.assert_allclose(sg_st[i], sg_lax, atol=TOL)
+
+
+def test_stacked_pumped_langevin_kernel_matches_lax_oracle(stacked_problem):
+    qs, vs = stacked_problem
+    key = jax.random.PRNGKey(0)
+    p = plgv.PumpedLangevinParams(
+        pump=jnp.float32(2.0), S=jnp.float32(0.5), dt=jnp.float32(0.002),
+        sigma=jnp.float32(0.5), feedback_scale=jnp.float32(1.0),
+        lower_limit=jnp.float32(0.0), upper_limit=jnp.float32(1.0),
+        iterations=jnp.float32(ITERS),
+    )
+    c_st = pk.pumped_langevin_solve(
+        key, qs, vs, p, iterations=ITERS, batch_size=BATCH,
+        pump_rate_flag=True, interpret=True, noise_scale=0.0,
+    )
+    with mock.patch.object(common, "normal", _zeros_normal):
+        for i in range(3):
+            c_lax = plgv.solve(
+                key, qs[i], vs[i], p, iterations=ITERS, batch_size=BATCH,
+                pump_rate_flag=True,
+            )
+            np.testing.assert_allclose(c_st[i], c_lax, atol=TOL)

@@ -1,0 +1,161 @@
+"""Instance-sweep parallelism tests: the vmapped multi-instance solve must
+reproduce serial per-instance solves (same PRNG keys) and shard cleanly over a
+device mesh (conftest forces an 8-device virtual CPU platform)."""
+
+import numpy as np
+import pytest
+
+from ccvm_tpu.parallel import make_batch_mesh, sweep_solve
+from ccvm_tpu.problem_classes.boxqp import ProblemInstance
+from ccvm_tpu.solvers import (
+    DLSolver,
+    LangevinSolver,
+    MFSolver,
+    PumpedLangevinSolver,
+)
+
+N = 8
+ITERS = 60
+BATCH = 16
+
+
+def _write_instance(path, rng, n=N):
+    """A tiny random BoxQP instance file in the reference .in format."""
+    a = rng.randn(n, n)
+    q = (a + a.T) / 2
+    v = rng.randn(n)
+    lines = [f"{n}\t10.0\t9.0\t90.0\t0.1\t0.1\t0\t0\n"]
+    lines.append("\t".join(f"{x:.6f}" for x in v) + "\n")
+    for row in q:
+        lines.append("\t".join(f"{x:.6f}" for x in row) + "\n")
+    path.write_text("".join(lines))
+    return str(path)
+
+
+@pytest.fixture
+def instances(tmp_path):
+    rng = np.random.RandomState(0)
+    return [
+        ProblemInstance(
+            instance_type="test",
+            file_path=_write_instance(tmp_path / f"i{k}.in", rng),
+            device="cpu",
+        )
+        for k in range(4)
+    ]
+
+
+PARAMS = {
+    "langevin": {"dt": 0.02, "S": 0.5, "iterations": ITERS, "sigma": 0.5,
+                 "feedback_scale": 1.0},
+    "pumped": {"pump": 2.0, "dt": 0.02, "S": 0.5, "iterations": ITERS,
+               "sigma": 0.5, "feedback_scale": 1.0},
+    "dl": {"pump": 2.0, "feedback_scale": 10, "dt": 0.01, "iterations": ITERS,
+           "noise_ratio": 10},
+    "mf": {"pump": 0.0, "feedback_scale": 50, "j": 5.0, "S": 2.0, "dt": 0.01,
+           "iterations": ITERS},
+}
+
+
+def _solver(name, backend="lax"):
+    cls = {
+        "langevin": LangevinSolver,
+        "pumped": PumpedLangevinSolver,
+        "dl": DLSolver,
+        "mf": MFSolver,
+    }[name]
+    s = cls(device="cpu", batch_size=BATCH, backend=backend)
+    s.parameter_key = {N: dict(PARAMS[name])}
+    return s
+
+
+@pytest.mark.parametrize("name", ["langevin", "pumped", "dl", "mf"])
+def test_sweep_matches_serial(name, instances):
+    solver = _solver(name)
+    swept = sweep_solve(solver, instances, seed=11)
+    assert len(swept) == len(instances)
+    for i, inst in enumerate(instances):
+        serial = solver(inst, seed=11 + i)
+        np.testing.assert_allclose(
+            np.asarray(swept[i].objective_values),
+            np.asarray(serial.objective_values),
+            rtol=2e-4,
+            atol=2e-5,
+        )
+        assert swept[i].instance_name == inst.name
+
+
+def test_sweep_with_grad_descent_improves(instances):
+    solver = _solver("langevin")
+    plain = sweep_solve(solver, instances, seed=3)
+    refined = sweep_solve(
+        solver, instances, post_processor="grad-descent", seed=3
+    )
+    for p, r in zip(plain, refined):
+        # projected GD must not worsen the best found objective
+        assert r.best_objective_value >= p.best_objective_value - 1e-5
+        assert r.pp_time > 0
+
+
+def test_sweep_on_mesh_matches_unsharded(instances):
+    solver = _solver("langevin")
+    mesh = make_batch_mesh(4)
+    sharded = sweep_solve(solver, instances, seed=5, mesh=mesh)
+    plain = sweep_solve(solver, instances, seed=5)
+    for a, b in zip(sharded, plain):
+        np.testing.assert_allclose(
+            np.asarray(a.objective_values),
+            np.asarray(b.objective_values),
+            rtol=2e-4,
+            atol=2e-5,
+        )
+
+
+def test_sweep_mesh_non_divisible_replicates(instances):
+    solver = _solver("langevin")
+    mesh = make_batch_mesh(8)  # 4 instances % 8 != 0 -> replicate path
+    out = sweep_solve(solver, instances[:3], seed=5, mesh=mesh)
+    assert len(out) == 3
+
+
+def test_sweep_adam_variant_runs(instances):
+    from ccvm_tpu.solvers.algorithms import AdamParameters
+
+    solver = _solver("langevin")
+    out = sweep_solve(
+        solver,
+        instances,
+        seed=1,
+        algorithm_parameters=AdamParameters(
+            alpha=0.1, beta1=0.9, beta2=0.999, add_assign=True
+        ),
+    )
+    assert len(out) == 4
+    for sol in out:
+        assert np.isfinite(np.asarray(sol.objective_values)).all()
+
+
+def test_sweep_rejects_mixed_sizes(tmp_path, instances):
+    rng = np.random.RandomState(9)
+    other = ProblemInstance(
+        instance_type="test",
+        file_path=_write_instance(tmp_path / "big.in", rng, n=12),
+        device="cpu",
+    )
+    solver = _solver("langevin")
+    with pytest.raises(ValueError, match="share one problem size"):
+        sweep_solve(solver, instances + [other], seed=0)
+
+
+def test_sweep_rejects_unsupported_post_processor(instances):
+    solver = _solver("langevin")
+    with pytest.raises(ValueError, match="grad-descent"):
+        sweep_solve(solver, instances, post_processor="bfgs")
+
+
+def test_sweep_scale_applies_scaling(instances):
+    solver = _solver("langevin")
+    before = float(np.asarray(instances[0].q_matrix).sum())
+    sweep_solve(solver, instances, seed=0, scale=True)
+    after = float(np.asarray(instances[0].q_matrix).sum())
+    assert before != after
