@@ -14,6 +14,7 @@ Design highlights (vs the reference's per-iteration Python loop on torch):
 
 __version__ = "0.1.0"
 
+from ccvm_tpu import checkpoint, profiling
 from ccvm_tpu.metadata import Metadata
 from ccvm_tpu.problem_classes.boxqp import ProblemInstance
 from ccvm_tpu.solution import Solution
@@ -27,6 +28,8 @@ from ccvm_tpu.solvers import (
 )
 
 __all__ = [
+    "checkpoint",
+    "profiling",
     "Metadata",
     "ProblemInstance",
     "Solution",

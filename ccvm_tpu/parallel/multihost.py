@@ -1,0 +1,75 @@
+"""Multi-host (pod-slice) runtime helpers.
+
+The reference is strictly single-process (no torch.distributed/NCCL/MPI
+anywhere — SURVEY.md section 2.7).  TPU-natively, multi-host scaling is:
+``jax.distributed.initialize()`` once per host process, a global mesh over
+every chip in the slice, batch/instance axes sharded over it, and XLA placing
+the (tiny) final reductions on ICI within a slice and DCN across slices.
+Host 0 writes Solution/Metadata artifacts.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+_initialized = False
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Initialize the JAX distributed runtime (idempotent).
+
+    On Cloud TPU pods the arguments are auto-detected from the environment;
+    pass them explicitly for other launchers.  Must be called before any jax
+    computation in every host process.
+    """
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _initialized = True
+        logger.info(
+            "jax.distributed initialized: process %d/%d, %d local / %d global devices",
+            jax.process_index(),
+            jax.process_count(),
+            jax.local_device_count(),
+            jax.device_count(),
+        )
+    except (RuntimeError, ValueError) as e:
+        # Single-process runs (tests, one-chip benches) land here when no
+        # coordinator is configured — that is fine.
+        logger.info("jax.distributed not initialized (%s); single-process run", e)
+
+
+def is_coordinator() -> bool:
+    """True on the host that should write metadata/plots (process 0)."""
+    return jax.process_index() == 0
+
+
+def global_batch_mesh():
+    """1-D "batch" mesh over every chip in the slice (all hosts)."""
+    from ccvm_tpu.parallel.mesh import make_batch_mesh
+
+    return make_batch_mesh(devices=jax.devices())
+
+
+def local_shard_bounds(total: int) -> tuple[int, int]:
+    """[start, end) rows of a length-``total`` globally sharded axis owned by
+    this host — for host-side work distribution (e.g. which instance files
+    this process loads in a multi-host benchmark sweep)."""
+    per = -(-total // jax.process_count())
+    start = min(per * jax.process_index(), total)
+    return start, min(start + per, total)
