@@ -47,31 +47,41 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pad_problem(q_matrix, v_vector):
-    """Zero-pad stacked problems for the kernels.
+    """Zero-pad stacked problems for the kernels, packing lanes when n < 128.
 
     Accepts ``(n, n)``/``(n,)`` (one instance) or ``(I, n, n)``/``(I, n)``
-    (instance-sweep stacking).  Q instances are folded into row-blocks —
-    ``(I * NP, NP)`` — so a 2-D ``(instance, batch-tile)`` grid can index
-    instance ``i``'s Q as plain block row ``i`` and every kernel body stays
-    rank-2.  Returns ``(q, v, n, np_, num_instances)``.
+    (instance-sweep stacking).
+
+    **Lane packing**: with n = 20, a naive pad to the 128-lane tile wastes
+    6.4x of every MXU flop and VPU op (noise generation dominates the VPU).
+    Instead, ``k = NP // n`` trajectories pack into one row — Q becomes a
+    block-diagonal (NP, NP) with k copies, V tiles k times, and all
+    elementwise dynamics are layout-oblivious.  Row r's lane block b holds
+    trajectory ``r * k + b``; the wrapper unpacks at the end.
+
+    Q instances are folded into row-blocks — ``(I * NP, NP)`` — so a 2-D
+    ``(instance, batch-tile)`` grid can index instance ``i``'s Q as plain
+    block row ``i`` and every kernel body stays rank-2.
+
+    Returns ``(q, v, n, np_, num_instances, k)``.
     """
     q3 = q_matrix if q_matrix.ndim == 3 else q_matrix[None]
     v2 = v_vector if v_vector.ndim == 2 else v_vector[None]
     num_instances, n = q3.shape[0], q3.shape[1]
     np_ = _round_up(max(n, LANE), LANE)
-    q = (
-        jnp.zeros((num_instances, np_, np_), jnp.float32)
-        .at[:, :n, :n]
-        .set(q3.astype(jnp.float32))
-        .reshape(num_instances * np_, np_)
-    )
+    k = np_ // n
+    q = jnp.zeros((num_instances, np_, np_), jnp.float32)
+    v = jnp.zeros((num_instances, 1, np_), jnp.float32)
+    q3 = q3.astype(jnp.float32)
+    v2 = v2.astype(jnp.float32)
+    for b in range(k):
+        q = q.at[:, b * n : (b + 1) * n, b * n : (b + 1) * n].set(q3)
+        v = v.at[:, 0, b * n : (b + 1) * n].set(v2)
     # V is rank-3 (I, 1, NP): the TPU lowering requires the block's trailing
     # two dims to equal the array's (or be sublane/lane multiples), which a
     # (1, NP) block over an (I, NP) array violates for I > 1.
-    v = jnp.zeros((num_instances, 1, np_), jnp.float32).at[:, 0, :n].set(
-        v2.astype(jnp.float32)
-    )
-    return q, v, n, np_, num_instances
+    q = q.reshape(num_instances * np_, np_)
+    return q, v, n, np_, num_instances, k
 
 
 def _seed_from_key(key):
@@ -180,10 +190,19 @@ def _out_spec(pl, pltpu, tile, np_, tiles_per_instance):
     )
 
 
-def _unstack(out, stacked, num_instances, pb, batch_size, n):
-    """(I*pb, np_) kernel output -> (I, batch, n), or (batch, n) unstacked."""
-    out = out.reshape(num_instances, pb, -1)[:, :batch_size, :n]
+def _unstack(out, stacked, num_instances, pb, batch_size, n, k):
+    """(I*pb, np_) packed kernel output -> (I, batch, n) (or (batch, n)).
+
+    Row r's lane block b is trajectory r*k + b (see :func:`_pad_problem`).
+    """
+    out = out.reshape(num_instances, pb, -1)[:, :, : k * n]
+    out = out.reshape(num_instances, pb * k, n)[:, :batch_size]
     return out if stacked else out[0]
+
+
+def _packed_rows(batch_size: int, k: int) -> int:
+    """Rows needed to hold ``batch_size`` trajectories at k per row."""
+    return -(-batch_size // k)
 
 
 def _matvec(x, q_ref):
@@ -240,9 +259,11 @@ def _langevin_call(
     from jax.experimental.pallas import tpu as pltpu
 
     stacked = q_matrix.ndim == 3
-    q, v, n, np_, num_instances = _pad_problem(q_matrix, v_vector)
-    pb, tile, k = _tile_plan(batch_size, np_, 1)
-    kernel = functools.partial(_langevin_kernel, iterations, n, noise_scale)
+    q, v, n, np_, num_instances, pack = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 1)
+    kernel = functools.partial(
+        _langevin_kernel, iterations, n * pack, noise_scale
+    )
     c = pl.pallas_call(
         kernel,
         grid=(num_instances, k),
@@ -251,7 +272,7 @@ def _langevin_call(
         out_specs=_out_spec(pl, pltpu, tile, np_, k),
         interpret=interpret,
     )(_seed_from_key(key), params_vec, q, v)
-    return _unstack(c, stacked, num_instances, pb, batch_size, n)
+    return _unstack(c, stacked, num_instances, pb, batch_size, n, pack)
 
 
 def langevin_solve(
@@ -337,10 +358,11 @@ def _pumped_langevin_call(
     from jax.experimental.pallas import tpu as pltpu
 
     stacked = q_matrix.ndim == 3
-    q, v, n, np_, num_instances = _pad_problem(q_matrix, v_vector)
-    pb, tile, k = _tile_plan(batch_size, np_, 1)
+    q, v, n, np_, num_instances, pack = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 1)
     kernel = functools.partial(
-        _pumped_langevin_kernel, iterations, n, pump_rate_flag, noise_scale
+        _pumped_langevin_kernel, iterations, n * pack, pump_rate_flag,
+        noise_scale,
     )
     c = pl.pallas_call(
         kernel,
@@ -350,7 +372,7 @@ def _pumped_langevin_call(
         out_specs=_out_spec(pl, pltpu, tile, np_, k),
         interpret=interpret,
     )(_seed_from_key(key), params_vec, q, v)
-    return _unstack(c, stacked, num_instances, pb, batch_size, n)
+    return _unstack(c, stacked, num_instances, pb, batch_size, n, pack)
 
 
 def pumped_langevin_solve(
@@ -455,10 +477,11 @@ def _dl_call(
     from jax.experimental.pallas import tpu as pltpu
 
     stacked = q_matrix.ndim == 3
-    q, v, n, np_, num_instances = _pad_problem(q_matrix, v_vector)
-    pb, tile, k = _tile_plan(batch_size, np_, 2)
+    q, v, n, np_, num_instances, pack = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 2)
     kernel = functools.partial(
-        _dl_kernel, iterations, n, pump_rate_flag, pump_is_gt_one, noise_scale
+        _dl_kernel, iterations, n * pack, pump_rate_flag, pump_is_gt_one,
+        noise_scale,
     )
     tile_spec = _out_spec(pl, pltpu, tile, np_, k)
     c, s = pl.pallas_call(
@@ -473,8 +496,8 @@ def _dl_call(
         interpret=interpret,
     )(_seed_from_key(key), params_vec, q, v)
     return (
-        _unstack(c, stacked, num_instances, pb, batch_size, n),
-        _unstack(s, stacked, num_instances, pb, batch_size, n),
+        _unstack(c, stacked, num_instances, pb, batch_size, n, pack),
+        _unstack(s, stacked, num_instances, pb, batch_size, n, pack),
     )
 
 
@@ -586,10 +609,10 @@ def _mf_call(
     from jax.experimental.pallas import tpu as pltpu
 
     stacked = q_matrix.ndim == 3
-    q, v, n, np_, num_instances = _pad_problem(q_matrix, v_vector)
-    pb, tile, k = _tile_plan(batch_size, np_, 3)
+    q, v, n, np_, num_instances, pack = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 3)
     kernel = functools.partial(
-        _mf_kernel, iterations, n, pump_rate_flag, noise_scale
+        _mf_kernel, iterations, n * pack, pump_rate_flag, noise_scale
     )
     tile_spec = _out_spec(pl, pltpu, tile, np_, k)
     mu, mt, sigma = pl.pallas_call(
@@ -607,9 +630,9 @@ def _mf_call(
     S = params_vec[0, 1]
     mt = jnp.clip(mt, -S, S)  # final readout clamp (mf_solver.py:591-593)
     return (
-        _unstack(mu, stacked, num_instances, pb, batch_size, n),
-        _unstack(mt, stacked, num_instances, pb, batch_size, n),
-        _unstack(sigma, stacked, num_instances, pb, batch_size, n),
+        _unstack(mu, stacked, num_instances, pb, batch_size, n, pack),
+        _unstack(mt, stacked, num_instances, pb, batch_size, n, pack),
+        _unstack(sigma, stacked, num_instances, pb, batch_size, n, pack),
     )
 
 
