@@ -97,12 +97,22 @@ def scan_steps_from(step_fn, init_state, key, start: int, num: int):
     return final_state
 
 
+@jax.jit
 def change_variables_boxqp(problem_variables, lower_limit=0, upper_limit=1, S=1):
     """Map solver amplitudes into the box (reference ``dl_solver.py:219-235``;
-    identical in all four solvers)."""
+    identical in all four solvers).  Jitted: a single dispatch instead of four
+    eager ops — dispatch latency dominates small host-driven ops on TPU."""
     return 0.5 * problem_variables / S * (upper_limit - lower_limit) + 0.5 * (
         upper_limit + lower_limit
     )
+
+
+@jax.jit
+def langevin_change_variables(c, S):
+    """The Langevin-family readout map ``(c + S) / (2 S)`` applied BEFORE
+    post-processing (reference ``langevin_solver.py:716-722``); hardcodes the
+    [0, 1] box exactly like the reference does."""
+    return (c + S) / (2 * S)
 
 
 def fit_to_constraints_boxqp(c, lower_clamp, upper_clamp):

@@ -169,7 +169,9 @@ def sweep_solve(
                     batch_size=batch_size, hp=hp,
                 )
             )(keys, qs, vs)
-        pp_input = (raw + params.S) / (2 * params.S)
+        from ccvm_tpu.dynamics import common as _common
+
+        pp_input = _common.langevin_change_variables(raw, params.S)
         needs_final_cv = False
         extra_vars = {}
     elif cls == "PumpedLangevinSolver":
@@ -196,7 +198,9 @@ def sweep_solve(
                     hp=hp,
                 )
             )(keys, qs, vs)
-        pp_input = (raw + params.S) / (2 * params.S)
+        from ccvm_tpu.dynamics import common as _common
+
+        pp_input = _common.langevin_change_variables(raw, params.S)
         needs_final_cv = False
         extra_vars = {}
     elif cls == "DLSolver":

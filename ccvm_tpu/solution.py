@@ -56,14 +56,21 @@ class Solution:
     best_objective_value: float = None
 
     def __post_init__(self):
-        """Compute best objective and gap statistics (reference ``:65-85``)."""
-        self.best_objective_value = float(jnp.max(-jnp.asarray(self.objective_values)))
-        self.get_solution_stats()
+        """Compute best objective and gap statistics (reference ``:65-85``).
 
-    def get_solution_stats(self):
+        One bulk device->host transfer; everything downstream is NumPy
+        (per-op dispatch and scalar readbacks are ~10-40 ms each through the
+        TPU tunnel, so no jnp ops here)."""
+        obj_np = np.asarray(self.objective_values)
+        self.best_objective_value = float(np.max(-obj_np))
+        self.get_solution_stats(obj_np)
+
+    def get_solution_stats(self, _obj_np=None):
         """Fractions of solutions within each optimality gap
         (reference ``:87-146``): gap = (optimal - obj) * 100 / |obj|."""
-        objective_values = -np.asarray(self.objective_values)
+        objective_values = -(
+            np.asarray(self.objective_values) if _obj_np is None else _obj_np
+        )
         gap = (self.optimal_value - objective_values) * 100 / np.abs(objective_values)
         n = objective_values.shape[0]
         self.solution_performance = {

@@ -352,8 +352,8 @@ class LangevinSolver(CCVMSolver):
         solve_time = (time.time() - solve_time_start) / batch_size
 
         # Change of variables happens BEFORE post-processing for Langevin
-        # (reference :711-723)
-        c_prime = (c + params.S) / (2 * params.S)
+        # (reference :711-723); jitted single-dispatch helper
+        c_prime = common.langevin_change_variables(c, params.S)
         if post_processor:
             post_processor_object = PostProcessorFactory.create_postprocessor(
                 post_processor

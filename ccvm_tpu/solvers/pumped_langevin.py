@@ -254,7 +254,7 @@ class PumpedLangevinSolver(CCVMSolver):
         solve_time = (time.time() - solve_time_start) / batch_size
 
         # Calibrate the variable before post-processing (reference :603-619)
-        c_prime = (c + params.S) / (2 * params.S)
+        c_prime = common.langevin_change_variables(c, params.S)
         if post_processor:
             post_processor_object = PostProcessorFactory.create_postprocessor(
                 post_processor
