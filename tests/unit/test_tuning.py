@@ -1,0 +1,86 @@
+"""Tests for the working grid-search tune() (the reference's tune() is an
+unimplemented placeholder that crashes on a read-only property,
+``dl_solver.py:327-329``; SURVEY.md section 7 step 8 calls for a real one)."""
+
+import numpy as np
+import pytest
+
+from ccvm_tpu.problem_classes.boxqp import ProblemInstance
+from ccvm_tpu.solvers import LangevinSolver
+
+N = 8
+
+
+@pytest.fixture
+def instance(tmp_path):
+    rng = np.random.RandomState(0)
+    a = rng.randn(N, N)
+    q = (a + a.T) / 2
+    v = rng.randn(N)
+    lines = [f"{N}\t10.0\t9.0\t90.0\t0.1\t0.1\t0\t0\n"]
+    lines.append("\t".join(f"{x:.6f}" for x in v) + "\n")
+    for row in q:
+        lines.append("\t".join(f"{x:.6f}" for x in row) + "\n")
+    path = tmp_path / "t.in"
+    path.write_text("".join(lines))
+    return ProblemInstance(
+        instance_type="tuning", file_path=str(path), device="cpu"
+    )
+
+
+def _solver():
+    s = LangevinSolver(device="cpu", batch_size=32, backend="lax")
+    s.parameter_key = {
+        N: {"dt": 0.02, "S": 0.5, "iterations": 50, "sigma": 0.5,
+            "feedback_scale": 1.0}
+    }
+    return s
+
+
+def test_tune_picks_a_candidate_and_sets_is_tuned(instance):
+    solver = _solver()
+    assert not solver.is_tuned
+    best = solver.tune(
+        [instance],
+        parameter_ranges={"dt": [0.005, 0.02], "sigma": [0.1, 0.5]},
+        tuning_batch_size=16,
+        seed=0,
+    )
+    assert solver.is_tuned
+    assert best[N]["dt"] in (0.005, 0.02)
+    assert best[N]["sigma"] in (0.1, 0.5)
+    # non-tuned keys keep their base values
+    assert best[N]["iterations"] == 50
+    assert solver.parameter_key == best
+
+
+def test_tune_restores_batch_size(instance):
+    solver = _solver()
+    solver.tune([instance], parameter_ranges={"dt": [0.02]},
+                tuning_batch_size=8)
+    assert solver.batch_size == 32
+
+
+def test_tune_requires_base_parameter_key(instance):
+    solver = LangevinSolver(device="cpu", batch_size=8, backend="lax")
+    with pytest.raises(ValueError, match="parameter_key"):
+        solver.tune([instance], parameter_ranges={"dt": [0.01]})
+
+
+def test_tune_unknown_size_raises(instance):
+    solver = _solver()
+    solver._parameter_key = {99: dict(solver.parameter_key[N])}
+    with pytest.raises(KeyError):
+        solver.tune([instance], parameter_ranges={"dt": [0.01]})
+
+
+def test_setting_parameter_key_clears_is_tuned(instance):
+    solver = _solver()
+    solver.tune([instance], parameter_ranges={"dt": [0.02]},
+                tuning_batch_size=8)
+    assert solver.is_tuned
+    solver.parameter_key = {
+        N: {"dt": 0.01, "S": 0.5, "iterations": 50, "sigma": 0.5,
+            "feedback_scale": 1.0}
+    }
+    assert not solver.is_tuned
