@@ -113,3 +113,41 @@ class TestMachineDispatch:
         df = pd.DataFrame({"pp_time": [0.1]})
         with pytest.raises(ValueError, match="missing the following columns"):
             solver._validate_machine_energy_dataframe_columns(df)
+
+
+class TestMachineTimeGoldenValues:
+    """Hand-computed golden values from the reference's own test suite
+    (``tests/unit/solvers/test_ccvm_solver.py:372-398`` -> 553.0 and
+    ``:448-472`` -> 2983.0) — cross-implementation parity of the machine-time
+    models."""
+
+    def test_dl_optics_machine_time_golden(self):
+        import pandas as pd
+
+        from ccvm_tpu.solvers import DLSolver
+
+        dl = DLSolver(device="cpu")
+        mp = {
+            "laser_power": 10e-12, "modulators_power": 10e-3,
+            "squeezing_power": 180e-3, "electronics_power": 0.0,
+            "amplifiers_power": 222.2e-3, "electronics_latency": 1e-9,
+            "laser_clock": 9, "postprocessing_power": {20: 4.96},
+        }
+        f = dl.machine_time(machine="dl-ccvm", machine_parameters=mp)
+        df = pd.DataFrame(data={"iterations": [4, 2], "pp_time": [16.0, 10.0]})
+        assert f(dataframe=df, problem_size=20) == 553.0
+
+    def test_mf_optics_machine_time_golden(self):
+        import pandas as pd
+
+        from ccvm_tpu.solvers import MFSolver
+
+        mf = MFSolver(device="cpu")
+        mp = {
+            "laser_clock": 2, "FPGA_clock": 5, "FPGA_fixed": 7,
+            "FPGA_var_fac": 9, "buffer_time": 15, "FPGA_power": {20: 15.74},
+            "laser_power": 1000e-6, "postprocessing_power": {20: 4.87},
+        }
+        f = mf.machine_time(machine="mf-ccvm", machine_parameters=mp)
+        df = pd.DataFrame(data={"iterations": [4, 2], "pp_time": [16.0, 10.0]})
+        assert f(dataframe=df, problem_size=20) == 2983.0
