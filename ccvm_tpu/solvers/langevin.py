@@ -202,12 +202,12 @@ class LangevinSolver(CCVMSolver):
     def _make_params(self, S, dt, sigma, feedback_scale):
         lo, hi = self.solution_bounds
         return dyn.LangevinParams(
-            S=jnp.asarray(S, jnp.float32),
-            dt=jnp.float32(dt),
-            sigma=jnp.float32(sigma),
-            feedback_scale=jnp.float32(feedback_scale),
-            lower_limit=jnp.float32(lo),
-            upper_limit=jnp.float32(hi),
+            S=np.asarray(S, np.float32),
+            dt=np.float32(dt),
+            sigma=np.float32(sigma),
+            feedback_scale=np.float32(feedback_scale),
+            lower_limit=np.float32(lo),
+            upper_limit=np.float32(hi),
         )
 
     def _use_pallas(self, evolution_step_size, S):

@@ -236,15 +236,15 @@ class MFSolver(CCVMSolver):
     def _make_params(self, pump, S, dt, j, feedback_scale, g, iterations):
         lo, hi = self.solution_bounds
         return dyn.MFParams(
-            pump=jnp.float32(pump),
-            S=jnp.asarray(S, jnp.float32),
-            dt=jnp.float32(dt),
-            j=jnp.float32(j),
-            feedback_scale=jnp.float32(feedback_scale),
-            g=jnp.float32(g),
-            lower_limit=jnp.float32(lo),
-            upper_limit=jnp.float32(hi),
-            iterations=jnp.float32(iterations),
+            pump=np.float32(pump),
+            S=np.asarray(S, np.float32),
+            dt=np.float32(dt),
+            j=np.float32(j),
+            feedback_scale=np.float32(feedback_scale),
+            g=np.float32(g),
+            lower_limit=np.float32(lo),
+            upper_limit=np.float32(hi),
+            iterations=np.float32(iterations),
         )
 
     def _use_pallas(self, evolution_step_size, S):

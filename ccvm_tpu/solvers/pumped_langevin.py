@@ -109,14 +109,14 @@ class PumpedLangevinSolver(CCVMSolver):
     def _make_params(self, pump, S, dt, sigma, feedback_scale, iterations):
         lo, hi = self.solution_bounds
         return dyn.PumpedLangevinParams(
-            pump=jnp.float32(pump),
-            S=jnp.asarray(S, jnp.float32),
-            dt=jnp.float32(dt),
-            sigma=jnp.float32(sigma),
-            feedback_scale=jnp.float32(feedback_scale),
-            lower_limit=jnp.float32(lo),
-            upper_limit=jnp.float32(hi),
-            iterations=jnp.float32(iterations),
+            pump=np.float32(pump),
+            S=np.asarray(S, np.float32),
+            dt=np.float32(dt),
+            sigma=np.float32(sigma),
+            feedback_scale=np.float32(feedback_scale),
+            lower_limit=np.float32(lo),
+            upper_limit=np.float32(hi),
+            iterations=np.float32(iterations),
         )
 
     def _use_pallas(self, evolution_step_size, S):
