@@ -79,6 +79,10 @@ def run_sweep(args):
 
         mesh = make_mesh(args.mesh)
 
+    # Multi-host: each process takes its contiguous shard of the instance
+    # files (ccvm_tpu.parallel.multihost); host 0 writes metadata/plots.
+    from ccvm_tpu.parallel import multihost
+
     sizes = [int(s) for s in args.sizes.split(",") if s]
     solver_names = [s.strip() for s in args.solvers.split(",") if s.strip()]
     os.makedirs(args.output_dir, exist_ok=True)
@@ -94,6 +98,10 @@ def run_sweep(args):
             files = sorted(glob.glob(pattern))
             if not files:
                 print(f"[{name}] no instances for size {size} ({pattern})")
+                continue
+            lo_f, hi_f = multihost.local_shard_bounds(len(files))
+            files = files[lo_f:hi_f]
+            if not files:
                 continue
             n_opt = 0
             t0 = time.perf_counter()
@@ -143,8 +151,12 @@ def run_sweep(args):
                 f"[{name}] size {size}: {len(files)} instances, "
                 f"mean P(optimal)={mean_opt:.3f}, wall {wall:.2f}s"
             )
+        suffix = (
+            "" if multihost.is_coordinator()
+            else f"_host{__import__('jax').process_index()}"
+        )
         metadata_path = metadata.save_metadata_to_file(
-            file_dir=args.output_dir, file_name=f"{name}_benchmark"
+            file_dir=args.output_dir, file_name=f"{name}_benchmark{suffix}"
         )
         print(f"[{name}] metadata -> {metadata_path}")
 

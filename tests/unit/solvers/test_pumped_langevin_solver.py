@@ -93,3 +93,31 @@ class TestParameterKey:
                 20: {"dt": 0.002, "S": 0.5, "iterations": 10, "sigma": 0.5,
                      "feedback_scale": 1.0}
             }
+
+
+def test_evolution_file(solver, instance, tmp_path):
+    """Evolution sampling writes the best trajectory's c block, tab-delimited
+    (the reference's pumped writer crashes on a missing arg,
+    ``pumped_langevin_solver.py:632-636`` — documented fix)."""
+    path = str(tmp_path / "evo.txt")
+    solution = solver(
+        instance, evolution_step_size=20, evolution_file=path, seed=3
+    )
+    assert solution.evolution_file == path
+    lines = open(path).read().strip().split("\n")
+    assert len(lines) == instance.problem_size
+    first_row = [t for t in lines[0].split("\t") if t]
+    # samples at iterations 0, 20, 40, ... and the final iteration
+    assert len(first_row) >= 2
+
+
+def test_device_mismatch(solver):
+    from ccvm_tpu import ProblemInstance
+
+    class FakeInstance:
+        device = "cuda"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must match"):
+        solver(FakeInstance())
