@@ -18,12 +18,21 @@ reference could never do at all (strictly single device).
 from __future__ import annotations
 
 import functools
+import inspect
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
+
+# jax renamed shard_map's replication-check kwarg (check_rep -> check_vma in
+# 0.7+); resolve the spelling once so we work on either side of the rename.
+_REP_KWARG = (
+    {"check_vma": False}
+    if "check_vma" in inspect.signature(shard_map).parameters
+    else {"check_rep": False}
+)
 
 from ccvm_tpu.dynamics.dl import DLParams
 
@@ -120,7 +129,7 @@ def make_dl_sharded_solve(mesh, *, iterations: int, pump_rate_flag: bool = True,
             P("batch"),           # objective values
             P(),                  # best objective (replicated scalar)
         ),
-        check_rep=False,
+        **_REP_KWARG,
     )
     return jax.jit(sharded)
 

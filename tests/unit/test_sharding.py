@@ -51,6 +51,44 @@ def test_langevin_sharded_matches_single_device(mesh):
     )
 
 
+def test_dl_tensor_parallel_solve_objective_consistent():
+    """2-D (batch x model) shard_map solve: the TP-reduced objective must
+    equal the objective recomputed from the gathered final state (regression
+    for the shard_map kwarg rename — this is the dryrun_multichip path)."""
+    import jax.numpy as jnp
+
+    from ccvm_tpu.dynamics.dl import DLParams
+    from ccvm_tpu.parallel import dl_sharded_solve, make_mesh
+
+    mesh2d = make_mesh(8, tp=2)
+    n, batch = 16, 32
+    key = jax.random.PRNGKey(3)
+    kq, kv = jax.random.split(key)
+    q = jax.random.normal(kq, (n, n), jnp.float32)
+    q = 0.5 * (q + q.T)
+    v = jax.random.normal(kv, (n,), jnp.float32)
+    params = DLParams(
+        pump=8.0, dt=0.001, iterations=50, noise_ratio=10.0,
+        feedback_scale=100.0, g=0.01, S=jnp.sqrt(7.0),
+        lower_limit=0.0, upper_limit=1.0,
+    )
+    c, s, objval, best = dl_sharded_solve(
+        mesh2d, jax.random.PRNGKey(0), q, v, params, batch, iterations=50
+    )
+    assert c.shape == (batch, n) and objval.shape == (batch,)
+    assert np.isfinite(np.asarray(objval)).all()
+    # Recompute the objective from the gathered amplitudes on one device.
+    span = params.upper_limit - params.lower_limit
+    mid = params.upper_limit + params.lower_limit
+    x = 0.5 * np.asarray(c) / float(params.S) * span + 0.5 * mid
+    qn, vn = np.asarray(q), np.asarray(v)
+    expected = 0.5 * np.einsum("bi,ij,bj->b", x, qn, x) + x @ vn
+    np.testing.assert_allclose(np.asarray(objval), expected, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(float(best), -expected.min(), rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_mf_sharded_matches_single_device(mesh):
     sharded = _solve(MFSolver, MF_KEY, mesh, seed=6)
     single = _solve(MFSolver, MF_KEY, None, seed=6)
