@@ -38,6 +38,16 @@ _INSTANCE_CANDIDATES = [
 def main():
     import jax
 
+    # Persistent compilation cache: the warm-up run pays compile once per
+    # machine instead of once per process.
+    try:
+        cache_dir = os.path.expanduser("~/.cache/ccvm_tpu_jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from ccvm_tpu import DLSolver, ProblemInstance
     from ccvm_tpu.runtime import default_device
 
@@ -48,7 +58,10 @@ def main():
         file_path=instance_path,
         device=device,
     )
-    solver = DLSolver(device=device, batch_size=BATCH)
+    # timing="async": the whole solve->readout pipeline runs with a single
+    # device sync (the work is identical; only an artificial mid-pipeline
+    # barrier is dropped — significant under high host<->device latency).
+    solver = DLSolver(device=device, batch_size=BATCH, timing="async")
     solver.parameter_key = {
         20: {
             "pump": 8.0,

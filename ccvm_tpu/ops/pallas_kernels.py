@@ -282,15 +282,17 @@ def langevin_solve(
     """Fused Langevin solve, or None if the config doesn't fit the kernel."""
     if np.ndim(params.S) != 0:
         return None
-    params_vec = jnp.stack(
+    # Host-side numpy: zero eager device dispatches before the jit call.
+    params_vec = np.array(
         [
-            jnp.float32(params.S),
-            jnp.float32(params.dt),
-            jnp.float32(params.sigma),
-            jnp.float32(params.feedback_scale),
-            jnp.float32(params.lower_limit),
-            jnp.float32(params.upper_limit),
-        ]
+            params.S,
+            params.dt,
+            params.sigma,
+            params.feedback_scale,
+            params.lower_limit,
+            params.upper_limit,
+        ],
+        np.float32,
     ).reshape(1, -1)
     return _langevin_call(
         key, q_matrix, v_vector, params_vec,
@@ -381,17 +383,18 @@ def pumped_langevin_solve(
 ):
     if np.ndim(params.S) != 0:
         return None
-    params_vec = jnp.stack(
+    params_vec = np.array(
         [
-            jnp.float32(params.pump),
-            jnp.float32(params.S),
-            jnp.float32(params.dt),
-            jnp.float32(params.sigma),
-            jnp.float32(params.feedback_scale),
-            jnp.float32(params.lower_limit),
-            jnp.float32(params.upper_limit),
-            jnp.float32(params.iterations),
-        ]
+            params.pump,
+            params.S,
+            params.dt,
+            params.sigma,
+            params.feedback_scale,
+            params.lower_limit,
+            params.upper_limit,
+            params.iterations,
+        ],
+        np.float32,
     ).reshape(1, -1)
     return _pumped_langevin_call(
         key, q_matrix, v_vector, params_vec,
@@ -507,18 +510,19 @@ def dl_solve(
 ):
     if np.ndim(params.S) != 0:
         return None
-    params_vec = jnp.stack(
+    params_vec = np.array(
         [
-            jnp.float32(params.pump),
-            jnp.float32(params.S),
-            jnp.float32(params.dt),
-            jnp.float32(params.noise_ratio),
-            jnp.float32(params.feedback_scale),
-            jnp.float32(params.g),
-            jnp.float32(params.lower_limit),
-            jnp.float32(params.upper_limit),
-            jnp.float32(params.iterations),
-        ]
+            params.pump,
+            params.S,
+            params.dt,
+            params.noise_ratio,
+            params.feedback_scale,
+            params.g,
+            params.lower_limit,
+            params.upper_limit,
+            params.iterations,
+        ],
+        np.float32,
     ).reshape(1, -1)
     return _dl_call(
         key, q_matrix, v_vector, params_vec,
@@ -642,18 +646,19 @@ def mf_solve(
 ):
     if np.ndim(params.S) != 0:
         return None
-    params_vec = jnp.stack(
+    params_vec = np.array(
         [
-            jnp.float32(params.pump),
-            jnp.float32(params.S),
-            jnp.float32(params.dt),
-            jnp.float32(params.j),
-            jnp.float32(params.feedback_scale),
-            jnp.float32(params.g),
-            jnp.float32(params.lower_limit),
-            jnp.float32(params.upper_limit),
-            jnp.float32(params.iterations),
-        ]
+            params.pump,
+            params.S,
+            params.dt,
+            params.j,
+            params.feedback_scale,
+            params.g,
+            params.lower_limit,
+            params.upper_limit,
+            params.iterations,
+        ],
+        np.float32,
     ).reshape(1, -1)
     return _mf_call(
         key, q_matrix, v_vector, params_vec,

@@ -26,15 +26,31 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+from ccvm_tpu.dynamics.dl import DLParams
+
 # jax renamed shard_map's replication-check kwarg (check_rep -> check_vma in
 # 0.7+); resolve the spelling once so we work on either side of the rename.
-_REP_KWARG = (
-    {"check_vma": False}
-    if "check_vma" in inspect.signature(shard_map).parameters
-    else {"check_rep": False}
-)
+# If a future jax wraps shard_map so the signature is opaque (**kwargs), fall
+# back to trying each spelling at call time.
+try:
+    _REP_KWARG = (
+        {"check_vma": False}
+        if "check_vma" in inspect.signature(shard_map).parameters
+        else {"check_rep": False}
+    )
+except (ValueError, TypeError):  # signature unavailable
+    _REP_KWARG = None
 
-from ccvm_tpu.dynamics.dl import DLParams
+
+def _shard_map(fn, **kwargs):
+    """shard_map with the replication check disabled, robust to the
+    check_rep -> check_vma kwarg rename across jax versions."""
+    if _REP_KWARG is not None:
+        return shard_map(fn, **kwargs, **_REP_KWARG)
+    try:
+        return shard_map(fn, **kwargs, check_vma=False)
+    except TypeError:
+        return shard_map(fn, **kwargs, check_rep=False)
 
 
 def _tp_matvec(x_local, q_local):
@@ -112,7 +128,7 @@ def make_dl_sharded_solve(mesh, *, iterations: int, pump_rate_flag: bool = True,
         best = lax.pmin(jnp.min(objval), "batch")
         return c, s, objval, -best
 
-    sharded = shard_map(
+    sharded = _shard_map(
         body,
         mesh=mesh,
         in_specs=(
@@ -129,7 +145,6 @@ def make_dl_sharded_solve(mesh, *, iterations: int, pump_rate_flag: bool = True,
             P("batch"),           # objective values
             P(),                  # best objective (replicated scalar)
         ),
-        **_REP_KWARG,
     )
     return jax.jit(sharded)
 

@@ -36,12 +36,23 @@ class CCVMSolver(ABC):
         mesh (jax.sharding.Mesh, optional): When given, trajectory batches are
             sharded over the mesh's "batch" axis (data parallelism over
             chips/hosts); the reference has no distributed path at all.
+        timing (str): "sync" (default) inserts a device barrier right after
+            the SDE integration so ``solve_time`` measures it alone, at the
+            cost of one extra host<->device round trip per solve. "async"
+            lets the whole solve->readout pipeline run with a single
+            end-of-pipeline sync; ``solve_time`` then covers the full
+            pipeline minus ``pp_time`` (the readout math itself is trivial).
     """
 
-    def __init__(self, device, mesh=None):
+    def __init__(self, device, mesh=None, timing="sync"):
         validate_device(device)
+        if timing not in ("sync", "async"):
+            raise ValueError(
+                f'timing must be "sync" or "async", got {timing!r}'
+            )
         self.device = device
         self.mesh = mesh
+        self.timing = timing
         self._is_tuned = False
         self._scaling_multiplier = None
         self._parameter_key = None

@@ -34,8 +34,9 @@ class DLSolver(CCVMSolver):
         S=1,
         mesh=None,
         backend="auto",
+        timing="sync",
     ):
-        super().__init__(device, mesh=mesh)
+        super().__init__(device, mesh=mesh, timing=timing)
         self.batch_size = batch_size
         self.S = S
         self.backend = backend
@@ -385,8 +386,8 @@ class DLSolver(CCVMSolver):
             raise ValueError(
                 f"Solver option type {type(algorithm_parameters)} is not supported."
             )
-        c = jax.block_until_ready(c)
-
+        if self.timing == "sync":
+            c = jax.block_until_ready(c)
         solve_time = (time.time() - solve_time_start) / batch_size
 
         lo, hi = self.solution_bounds
@@ -408,6 +409,12 @@ class DLSolver(CCVMSolver):
         # output (dl_solver.py:941-958); preserved for behavioural parity.
         confs = self.change_variables(problem_variables, lo, hi, params.S)
         objval = instance.compute_energy(confs)
+
+        if self.timing == "async":
+            # The pipeline's single device sync; everything upstream (solve,
+            # post-processing, readout) was dispatched without a barrier.
+            objval = np.asarray(objval)
+            solve_time = (time.time() - solve_time_start) / batch_size - pp_time
 
         if evolution_step_size:
             open(evolution_file, "w").close()

@@ -36,6 +36,7 @@ class LangevinSolver(CCVMSolver):
         batch_size=1000,
         mesh=None,
         backend="auto",
+        timing="sync",
     ):
         """
         Args:
@@ -45,8 +46,9 @@ class LangevinSolver(CCVMSolver):
             mesh: optional jax Mesh for batch-sharded multi-chip solves.
             backend (str): "auto" | "lax" | "pallas" — "pallas" runs the whole
                 solve loop in a fused TPU kernel; "auto" picks it on TPU.
+            timing (str): "sync" | "async" — see :class:`CCVMSolver`.
         """
-        super().__init__(device, mesh=mesh)
+        super().__init__(device, mesh=mesh, timing=timing)
         self.batch_size = batch_size
         self.backend = backend
         self._scaling_multiplier = LANGEVIN_SCALING_MULTIPLIER
@@ -346,8 +348,8 @@ class LangevinSolver(CCVMSolver):
             raise ValueError(
                 f"Solver option type {type(algorithm_parameters)} is not supported."
             )
-        c = jax.block_until_ready(c)
-
+        if self.timing == "sync":
+            c = jax.block_until_ready(c)
         # Per-instance normalized solve time (reference :704-708)
         solve_time = (time.time() - solve_time_start) / batch_size
 
@@ -367,6 +369,11 @@ class LangevinSolver(CCVMSolver):
             pp_time = 0.0
 
         objval = instance.compute_energy(problem_variables)
+
+        if self.timing == "async":
+            # The pipeline's single device sync (see CCVMSolver docstring).
+            objval = np.asarray(objval)
+            solve_time = (time.time() - solve_time_start) / batch_size - pp_time
 
         if evolution_step_size:
             open(evolution_file, "w").close()

@@ -32,8 +32,9 @@ class MFSolver(CCVMSolver):
         batch_size=1000,
         mesh=None,
         backend="auto",
+        timing="sync",
     ):
-        super().__init__(device, mesh=mesh)
+        super().__init__(device, mesh=mesh, timing=timing)
         self.batch_size = batch_size
         self.backend = backend
         self._default_optics_machine_parameters = {
@@ -390,8 +391,8 @@ class MFSolver(CCVMSolver):
             raise ValueError(
                 f"Solver option type {type(algorithm_parameters)} is not supported."
             )
-        mu_tilde = jax.block_until_ready(mu_tilde)
-
+        if self.timing == "sync":
+            mu_tilde = jax.block_until_ready(mu_tilde)
         solve_time = (time.time() - solve_time_start) / batch_size
 
         lo, hi = self.solution_bounds
@@ -412,6 +413,11 @@ class MFSolver(CCVMSolver):
             pp_time = 0.0
 
         objval = instance.compute_energy(problem_variables)
+
+        if self.timing == "async":
+            # The pipeline's single device sync (see CCVMSolver docstring).
+            objval = np.asarray(objval)
+            solve_time = (time.time() - solve_time_start) / batch_size - pp_time
 
         if evolution_step_size:
             open(evolution_file, "w").close()

@@ -32,8 +32,9 @@ class PumpedLangevinSolver(CCVMSolver):
         batch_size=1000,
         mesh=None,
         backend="auto",
+        timing="sync",
     ):
-        super().__init__(device, mesh=mesh)
+        super().__init__(device, mesh=mesh, timing=timing)
         self.batch_size = batch_size
         self.backend = backend
         self._scaling_multiplier = PUMPED_LANGEVIN_SCALING_MULTIPLIER
@@ -249,8 +250,8 @@ class PumpedLangevinSolver(CCVMSolver):
             raise ValueError(
                 f"Solver option type {type(algorithm_parameters)} is not supported."
             )
-        c = jax.block_until_ready(c)
-
+        if self.timing == "sync":
+            c = jax.block_until_ready(c)
         solve_time = (time.time() - solve_time_start) / batch_size
 
         # Calibrate the variable before post-processing (reference :603-619)
@@ -268,6 +269,11 @@ class PumpedLangevinSolver(CCVMSolver):
             pp_time = 0.0
 
         objval = instance.compute_energy(problem_variables)
+
+        if self.timing == "async":
+            # The pipeline's single device sync (see CCVMSolver docstring).
+            objval = np.asarray(objval)
+            solve_time = (time.time() - solve_time_start) / batch_size - pp_time
 
         if evolution_step_size:
             open(evolution_file, "w").close()

@@ -152,3 +152,26 @@ class TestSolve:
         assert len(lines) == 20
         # samples at iters 0, 500, 1000, 1499 -> buffer is 4 (=1500/500+1)
         assert len(lines[0].split("\t")) >= 4
+
+
+class TestAsyncTiming:
+    """timing="async" drops the mid-pipeline barrier but must produce
+    identical Solutions (same work, single end-of-pipeline sync)."""
+
+    def test_async_matches_sync_given_seed(self, instance):
+        sync_solver = LangevinSolver(device="cpu", batch_size=100)
+        sync_solver.parameter_key = PARAMS20
+        async_solver = LangevinSolver(device="cpu", batch_size=100, timing="async")
+        async_solver.parameter_key = PARAMS20
+        s_sync = sync_solver(instance, seed=11)
+        s_async = async_solver(instance, seed=11)
+        np.testing.assert_array_equal(
+            np.asarray(s_sync.objective_values),
+            np.asarray(s_async.objective_values),
+        )
+        assert s_async.solve_time > 0
+        assert s_async.solution_performance == s_sync.solution_performance
+
+    def test_invalid_timing_rejected(self):
+        with pytest.raises(ValueError, match="timing"):
+            LangevinSolver(device="cpu", batch_size=10, timing="nope")

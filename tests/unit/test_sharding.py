@@ -67,9 +67,14 @@ def test_dl_tensor_parallel_solve_objective_consistent():
     q = jax.random.normal(kq, (n, n), jnp.float32)
     q = 0.5 * (q + q.T)
     v = jax.random.normal(kv, (n,), jnp.float32)
+    pump = 8.0
     params = DLParams(
-        pump=8.0, dt=0.001, iterations=50, noise_ratio=10.0,
-        feedback_scale=100.0, g=0.01, S=jnp.sqrt(7.0),
+        pump=pump, dt=0.001, iterations=50, noise_ratio=10.0,
+        feedback_scale=100.0, g=0.01,
+        # S must equal the dynamics' internal saturation S_d = sqrt(pump - 1)
+        # (applied when pump > 1) for the objective recompute below to use the
+        # same change of variables the solver used.
+        S=jnp.sqrt(pump - 1.0),
         lower_limit=0.0, upper_limit=1.0,
     )
     c, s, objval, best = dl_sharded_solve(
