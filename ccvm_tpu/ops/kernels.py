@@ -13,47 +13,51 @@ also the numerical oracle in tests).
 from __future__ import annotations
 
 
-def langevin_solve(key, q_matrix, v_vector, params, *, iterations, batch_size):
-    """Fused Langevin solve; implemented in ops/pallas_kernels.py (wired in a
-    later milestone). Returns None to select the lax path for now."""
+def langevin_solve(
+    key, q_matrix, v_vector, params, *, iterations, batch_size,
+    rng="popcount",
+):
+    """Fused Langevin solve; implemented in ops/pallas_kernels.py."""
     from ccvm_tpu.ops import pallas_kernels
 
     return pallas_kernels.langevin_solve(
         key, q_matrix, v_vector, params, iterations=iterations,
-        batch_size=batch_size,
+        batch_size=batch_size, rng=rng,
     )
 
 
 def pumped_langevin_solve(
-    key, q_matrix, v_vector, params, *, iterations, batch_size, pump_rate_flag
+    key, q_matrix, v_vector, params, *, iterations, batch_size,
+    pump_rate_flag, rng="popcount",
 ):
     from ccvm_tpu.ops import pallas_kernels
 
     return pallas_kernels.pumped_langevin_solve(
         key, q_matrix, v_vector, params, iterations=iterations,
-        batch_size=batch_size, pump_rate_flag=pump_rate_flag,
+        batch_size=batch_size, pump_rate_flag=pump_rate_flag, rng=rng,
     )
 
 
 def dl_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size, pump_rate_flag,
-    pump_is_gt_one,
+    pump_is_gt_one, rng="popcount",
 ):
     from ccvm_tpu.ops import pallas_kernels
 
     return pallas_kernels.dl_solve(
         key, q_matrix, v_vector, params, iterations=iterations,
         batch_size=batch_size, pump_rate_flag=pump_rate_flag,
-        pump_is_gt_one=pump_is_gt_one,
+        pump_is_gt_one=pump_is_gt_one, rng=rng,
     )
 
 
 def mf_solve(
-    key, q_matrix, v_vector, params, *, iterations, batch_size, pump_rate_flag
+    key, q_matrix, v_vector, params, *, iterations, batch_size,
+    pump_rate_flag, rng="popcount",
 ):
     from ccvm_tpu.ops import pallas_kernels
 
     return pallas_kernels.mf_solve(
         key, q_matrix, v_vector, params, iterations=iterations,
-        batch_size=batch_size, pump_rate_flag=pump_rate_flag,
+        batch_size=batch_size, pump_rate_flag=pump_rate_flag, rng=rng,
     )

@@ -116,11 +116,13 @@ def _tile_plan(batch: int, np_: int, n_state_arrays: int):
     return tile * k, tile, k
 
 
-def _normal_pair(shape):
+def _normal_pair_box_muller(shape):
     """Two independent N(0,1) arrays via Box-Muller over hardware PRNG bits.
 
     Uses 23-bit uniforms (exact in float32).  u1 is mapped to (0, 1] so the
-    log is always finite.
+    log is always finite.  Exact Gaussian, but the four transcendentals
+    (log/sqrt/cos/sin) dominate the whole SDE step on the VPU — measured
+    ~2.4 us/step for a (168, 128) state vs ~0.01 us for the popcount path.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -135,14 +137,54 @@ def _normal_pair(shape):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def _noise_pair(shape, mask, noise_scale):
+# Binomial(64) + uniform-smoothing normalisation: Var = 64/4 + 1/12.
+_POPC_INV_STD = float(1.0 / np.sqrt(16.0 + 1.0 / 12.0))
+
+
+def _normal_pair_popcount(shape):
+    """Two independent ~N(0,1) arrays via bit-population counts.
+
+    Each normal is ``popcount(b1) + popcount(b2) - 32`` (Binomial(64, 1/2),
+    centred, variance 16) plus an independent 23-bit uniform on
+    [-1/2, 1/2) for continuity, scaled to unit variance.  Mean/variance are
+    exact, skew 0, excess kurtosis -1/32, support bounded at ~8 sigma —
+    indistinguishable from Gaussian for Euler-Maruyama Wiener increments
+    (any per-step kurtosis defect enters the integrated SDE only at O(dt)
+    and the CLT over thousands of steps erases it; validated against the
+    exact-Gaussian lax path by tools/tpu_validate.py's 5-sigma bands).
+    Runs entirely on cheap VPU integer ops — no transcendentals — which
+    makes noise generation essentially free instead of ~70% of the step.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    def one(_):
+        b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+        b3 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+        pc = jax.lax.population_count(b1) + jax.lax.population_count(b2)
+        u = (b3 & jnp.int32(0x7FFFFF)).astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << 23)
+        )
+        return ((pc - 32).astype(jnp.float32) + (u - 0.5)) * jnp.float32(
+            _POPC_INV_STD
+        )
+
+    return one(0), one(1)
+
+
+def _noise_pair(shape, mask, noise_scale, rng="popcount"):
     """Masked, scaled normal pair; statically elides the PRNG when
     ``noise_scale == 0`` (the deterministic test mode — interpret-mode CPU
     runs lack the TPU PRNG primitives)."""
     if noise_scale == 0.0:
         z = jnp.zeros(shape, jnp.float32)
         return z, z
-    z1, z2 = _normal_pair(shape)
+    if rng == "popcount":
+        z1, z2 = _normal_pair_popcount(shape)
+    elif rng == "box_muller":
+        z1, z2 = _normal_pair_box_muller(shape)
+    else:
+        raise ValueError(f'rng must be "popcount" or "box_muller", got {rng!r}')
     return z1 * (mask * noise_scale), z2 * (mask * noise_scale)
 
 
@@ -215,7 +257,7 @@ def _matvec(x, q_ref):
 
 
 def _langevin_kernel(
-    iterations, n, noise_scale, seed_ref, params_ref, q_ref, v_ref, c_ref
+    iterations, n, noise_scale, rng, seed_ref, params_ref, q_ref, v_ref, c_ref
 ):
     """dc = dt*fs*(-(xQ + V)*(u-l)/(2S)) + sigma*sqrt(dt)*dW; clamp each step
     (reference ``langevin_solver.py:368-435``)."""
@@ -239,7 +281,7 @@ def _langevin_kernel(
         c = c_ref[:]
         x = c * scale + mid
         drift = -(_matvec(x, q_ref) + v_row) * scale
-        w, _ = _noise_pair((batch, np_), mask, noise_scale)
+        w, _ = _noise_pair((batch, np_), mask, noise_scale, rng)
         c = c + dt * fs * drift + sigma * sqrt_dt * w
         c_ref[:] = jnp.clip(c, -S, S)
         return 0
@@ -249,11 +291,13 @@ def _langevin_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "batch_size", "interpret", "noise_scale"),
+    static_argnames=(
+        "iterations", "batch_size", "interpret", "noise_scale", "rng",
+    ),
 )
 def _langevin_call(
     key, q_matrix, v_vector, params_vec, *, iterations, batch_size, interpret,
-    noise_scale,
+    noise_scale, rng,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -262,7 +306,7 @@ def _langevin_call(
     q, v, n, np_, num_instances, pack = _pad_problem(q_matrix, v_vector)
     pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 1)
     kernel = functools.partial(
-        _langevin_kernel, iterations, n * pack, noise_scale
+        _langevin_kernel, iterations, n * pack, noise_scale, rng
     )
     c = pl.pallas_call(
         kernel,
@@ -277,7 +321,7 @@ def _langevin_call(
 
 def langevin_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    interpret=False, noise_scale=1.0,
+    interpret=False, noise_scale=1.0, rng="popcount",
 ):
     """Fused Langevin solve, or None if the config doesn't fit the kernel."""
     if np.ndim(params.S) != 0:
@@ -297,7 +341,7 @@ def langevin_solve(
     return _langevin_call(
         key, q_matrix, v_vector, params_vec,
         iterations=int(iterations), batch_size=int(batch_size),
-        interpret=interpret, noise_scale=float(noise_scale),
+        interpret=interpret, noise_scale=float(noise_scale), rng=rng,
     )
 
 
@@ -307,7 +351,7 @@ def langevin_solve(
 
 
 def _pumped_langevin_kernel(
-    iterations, n, pump_rate_flag, noise_scale,
+    iterations, n, pump_rate_flag, noise_scale, rng,
     seed_ref, params_ref, q_ref, v_ref, c_ref,
 ):
     """dc = dt*((-1 + p(i) - c^2)c + fs*grads) + sigma*sqrt(dt)*dW; clamp
@@ -337,7 +381,7 @@ def _pumped_langevin_kernel(
         x = c * scale + mid
         grads = -_matvec(x, q_ref) * scale - v_row * scale
         drift = (-1.0 + pump_i - jnp.square(c)) * c + fs * grads
-        w, _ = _noise_pair((batch, np_), mask, noise_scale)
+        w, _ = _noise_pair((batch, np_), mask, noise_scale, rng)
         c = c + dt * drift + sigma * sqrt_dt * w
         c_ref[:] = jnp.clip(c, -S, S)
         return 0
@@ -349,12 +393,12 @@ def _pumped_langevin_kernel(
     jax.jit,
     static_argnames=(
         "iterations", "batch_size", "pump_rate_flag", "interpret",
-        "noise_scale",
+        "noise_scale", "rng",
     ),
 )
 def _pumped_langevin_call(
     key, q_matrix, v_vector, params_vec, *, iterations, batch_size,
-    pump_rate_flag, interpret, noise_scale,
+    pump_rate_flag, interpret, noise_scale, rng,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -364,7 +408,7 @@ def _pumped_langevin_call(
     pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 1)
     kernel = functools.partial(
         _pumped_langevin_kernel, iterations, n * pack, pump_rate_flag,
-        noise_scale,
+        noise_scale, rng,
     )
     c = pl.pallas_call(
         kernel,
@@ -379,7 +423,7 @@ def _pumped_langevin_call(
 
 def pumped_langevin_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    pump_rate_flag, interpret=False, noise_scale=1.0,
+    pump_rate_flag, interpret=False, noise_scale=1.0, rng="popcount",
 ):
     if np.ndim(params.S) != 0:
         return None
@@ -400,7 +444,7 @@ def pumped_langevin_solve(
         key, q_matrix, v_vector, params_vec,
         iterations=int(iterations), batch_size=int(batch_size),
         pump_rate_flag=bool(pump_rate_flag), interpret=interpret,
-        noise_scale=float(noise_scale),
+        noise_scale=float(noise_scale), rng=rng,
     )
 
 
@@ -410,7 +454,7 @@ def pumped_langevin_solve(
 
 
 def _dl_kernel(
-    iterations, n, pump_rate_flag, pump_is_gt_one, noise_scale,
+    iterations, n, pump_rate_flag, pump_is_gt_one, noise_scale, rng,
     seed_ref, params_ref, q_ref, v_ref, c_ref, s_ref,
 ):
     """Two-quadrature pump-saturated SDE (reference ``dl_solver.py:468-569``);
@@ -452,7 +496,7 @@ def _dl_kernel(
         fs_dyn = fs * (0.5 + rate)
         c_drift = -fs_dyn * (fb_c + g3) + (-1.0 + pump * rate - c_pow - s_pow) * c
         s_drift = -fs_dyn * (fb_s + g3) + (-1.0 - pump * rate - c_pow - s_pow) * s
-        w_c, w_s = _noise_pair((batch, np_), mask, noise_scale)
+        w_c, w_s = _noise_pair((batch, np_), mask, noise_scale, rng)
         w_c = w_c * (sqrt_dt * nr_i)
         w_s = w_s * (sqrt_dt / nr_i)
         diff = 2.0 * g * jnp.sqrt(c_pow + s_pow + 0.5)
@@ -469,12 +513,12 @@ def _dl_kernel(
     jax.jit,
     static_argnames=(
         "iterations", "batch_size", "pump_rate_flag", "pump_is_gt_one",
-        "interpret", "noise_scale",
+        "interpret", "noise_scale", "rng",
     ),
 )
 def _dl_call(
     key, q_matrix, v_vector, params_vec, *, iterations, batch_size,
-    pump_rate_flag, pump_is_gt_one, interpret, noise_scale,
+    pump_rate_flag, pump_is_gt_one, interpret, noise_scale, rng,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -484,7 +528,7 @@ def _dl_call(
     pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 2)
     kernel = functools.partial(
         _dl_kernel, iterations, n * pack, pump_rate_flag, pump_is_gt_one,
-        noise_scale,
+        noise_scale, rng,
     )
     tile_spec = _out_spec(pl, pltpu, tile, np_, k)
     c, s = pl.pallas_call(
@@ -507,6 +551,7 @@ def _dl_call(
 def dl_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
     pump_rate_flag, pump_is_gt_one, interpret=False, noise_scale=1.0,
+    rng="popcount",
 ):
     if np.ndim(params.S) != 0:
         return None
@@ -529,7 +574,7 @@ def dl_solve(
         iterations=int(iterations), batch_size=int(batch_size),
         pump_rate_flag=bool(pump_rate_flag),
         pump_is_gt_one=bool(pump_is_gt_one), interpret=interpret,
-        noise_scale=float(noise_scale),
+        noise_scale=float(noise_scale), rng=rng,
     )
 
 
@@ -539,7 +584,7 @@ def dl_solve(
 
 
 def _mf_kernel(
-    iterations, n, pump_rate_flag, noise_scale,
+    iterations, n, pump_rate_flag, noise_scale, rng,
     seed_ref, params_ref, q_ref, v_ref, mu_ref, mt_ref, sigma_ref,
 ):
     """Measurement-feedback SDE over (mu, sigma) with measured field mu_tilde
@@ -573,7 +618,7 @@ def _mf_kernel(
         sigma = sigma_ref[:]
         fi = i.astype(jnp.float32)
         j_i = j * jnp.exp(-(fi + 1.0) / T * 3.0)
-        w, _ = _noise_pair((batch, np_), mask, noise_scale)
+        w, _ = _noise_pair((batch, np_), mask, noise_scale, rng)
         w_inc = w / sqrt_dt
         mu_tilde = mu + jnp.sqrt(1.0 / (4.0 * j_i)) * w_inc
         mu_tilde_c = jnp.clip(mu_tilde, -S, S)
@@ -602,12 +647,12 @@ def _mf_kernel(
     jax.jit,
     static_argnames=(
         "iterations", "batch_size", "pump_rate_flag", "interpret",
-        "noise_scale",
+        "noise_scale", "rng",
     ),
 )
 def _mf_call(
     key, q_matrix, v_vector, params_vec, *, iterations, batch_size,
-    pump_rate_flag, interpret, noise_scale,
+    pump_rate_flag, interpret, noise_scale, rng,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -616,7 +661,7 @@ def _mf_call(
     q, v, n, np_, num_instances, pack = _pad_problem(q_matrix, v_vector)
     pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 3)
     kernel = functools.partial(
-        _mf_kernel, iterations, n * pack, pump_rate_flag, noise_scale
+        _mf_kernel, iterations, n * pack, pump_rate_flag, noise_scale, rng
     )
     tile_spec = _out_spec(pl, pltpu, tile, np_, k)
     mu, mt, sigma = pl.pallas_call(
@@ -642,7 +687,7 @@ def _mf_call(
 
 def mf_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    pump_rate_flag, interpret=False, noise_scale=1.0,
+    pump_rate_flag, interpret=False, noise_scale=1.0, rng="popcount",
 ):
     if np.ndim(params.S) != 0:
         return None
@@ -664,5 +709,5 @@ def mf_solve(
         key, q_matrix, v_vector, params_vec,
         iterations=int(iterations), batch_size=int(batch_size),
         pump_rate_flag=bool(pump_rate_flag), interpret=interpret,
-        noise_scale=float(noise_scale),
+        noise_scale=float(noise_scale), rng=rng,
     )

@@ -161,6 +161,7 @@ def sweep_solve(
             raw = kernels.langevin_solve(
                 keys[0], qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
+                rng=getattr(solver, "kernel_rng", "popcount"),
             )
         if raw is None:
             raw = jax.vmap(
@@ -189,6 +190,7 @@ def sweep_solve(
                 keys[0], qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
                 pump_rate_flag=pump_rate_flag,
+                rng=getattr(solver, "kernel_rng", "popcount"),
             )
         if raw is None:
             raw = jax.vmap(
@@ -219,6 +221,7 @@ def sweep_solve(
                 keys[0], qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
                 pump_rate_flag=pump_rate_flag,
+                rng=getattr(solver, "kernel_rng", "popcount"),
                 pump_is_gt_one=bool(pk["pump"] > 1),
             )
         if out is None:
@@ -252,6 +255,7 @@ def sweep_solve(
                 keys[0], qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
                 pump_rate_flag=pump_rate_flag,
+                rng=getattr(solver, "kernel_rng", "popcount"),
             )
         if out is None:
             out = jax.vmap(

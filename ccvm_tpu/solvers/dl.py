@@ -35,9 +35,11 @@ class DLSolver(CCVMSolver):
         mesh=None,
         backend="auto",
         timing="sync",
+        kernel_rng="popcount",
     ):
         super().__init__(device, mesh=mesh, timing=timing)
         self.batch_size = batch_size
+        self.kernel_rng = kernel_rng
         self.S = S
         self.backend = backend
         self._default_optics_machine_parameters = {
@@ -255,6 +257,7 @@ class DLSolver(CCVMSolver):
                     key, self.q_matrix, self.v_vector, params,
                     iterations=iterations, batch_size=self.batch_size,
                     pump_rate_flag=pump_rate_flag, pump_is_gt_one=pump_is_gt_one,
+                    rng=self.kernel_rng,
                 )
                 if out is not None:
                     return out

@@ -37,6 +37,7 @@ class LangevinSolver(CCVMSolver):
         mesh=None,
         backend="auto",
         timing="sync",
+        kernel_rng="popcount",
     ):
         """
         Args:
@@ -47,10 +48,15 @@ class LangevinSolver(CCVMSolver):
             backend (str): "auto" | "lax" | "pallas" — "pallas" runs the whole
                 solve loop in a fused TPU kernel; "auto" picks it on TPU.
             timing (str): "sync" | "async" — see :class:`CCVMSolver`.
+            kernel_rng (str): "popcount" (default; exact-moment binomial+
+                uniform normals, ~70% faster steps) or "box_muller" (exact
+                Gaussian) — the Wiener-increment generator inside the fused
+                kernel.  The lax backend always uses exact Gaussians.
         """
         super().__init__(device, mesh=mesh, timing=timing)
         self.batch_size = batch_size
         self.backend = backend
+        self.kernel_rng = kernel_rng
         self._scaling_multiplier = LANGEVIN_SCALING_MULTIPLIER
         self._method_selector(problem_category)
         self._default_fpga_machine_parameters = {
@@ -233,6 +239,7 @@ class LangevinSolver(CCVMSolver):
                 c = kernels.langevin_solve(
                     key, self.q_matrix, self.v_vector, params,
                     iterations=iterations, batch_size=self.batch_size,
+                    rng=self.kernel_rng,
                 )
                 if c is not None:
                     return c

@@ -33,10 +33,12 @@ class MFSolver(CCVMSolver):
         mesh=None,
         backend="auto",
         timing="sync",
+        kernel_rng="popcount",
     ):
         super().__init__(device, mesh=mesh, timing=timing)
         self.batch_size = batch_size
         self.backend = backend
+        self.kernel_rng = kernel_rng
         self._default_optics_machine_parameters = {
             "laser_clock": 100e-12,
             "FPGA_clock": 3.33e-9,
@@ -265,7 +267,7 @@ class MFSolver(CCVMSolver):
                 out = kernels.mf_solve(
                     key, self.q_matrix, self.v_vector, params,
                     iterations=iterations, batch_size=self.batch_size,
-                    pump_rate_flag=pump_rate_flag,
+                    pump_rate_flag=pump_rate_flag, rng=self.kernel_rng,
                 )
                 if out is not None:
                     return out

@@ -33,10 +33,12 @@ class PumpedLangevinSolver(CCVMSolver):
         mesh=None,
         backend="auto",
         timing="sync",
+        kernel_rng="popcount",
     ):
         super().__init__(device, mesh=mesh, timing=timing)
         self.batch_size = batch_size
         self.backend = backend
+        self.kernel_rng = kernel_rng
         self._scaling_multiplier = PUMPED_LANGEVIN_SCALING_MULTIPLIER
         self._method_selector(problem_category)
 
@@ -135,7 +137,7 @@ class PumpedLangevinSolver(CCVMSolver):
                 c = kernels.pumped_langevin_solve(
                     key, self.q_matrix, self.v_vector, params,
                     iterations=iterations, batch_size=self.batch_size,
-                    pump_rate_flag=pump_rate_flag,
+                    pump_rate_flag=pump_rate_flag, rng=self.kernel_rng,
                 )
                 if c is not None:
                     return c
