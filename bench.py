@@ -76,9 +76,12 @@ def main():
     # Warm-up (compile)
     solver(instance, seed=0)
 
-    # Timed warm runs: best of 3
+    # Timed warm runs: best of 7.  Each run is a full honest solve
+    # (dispatch -> fused kernel -> readout sync); the per-run wall includes
+    # one host<->device round trip whose latency jitters by tens of ms on a
+    # tunneled TPU, so several reps are needed to sample the floor.
     best_wall = float("inf")
-    for rep in range(3):
+    for rep in range(7):
         t0 = time.perf_counter()
         solution = solver(instance, seed=rep + 1)
         wall = time.perf_counter() - t0

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 def langevin_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    rng="popcount",
+    rng="popcount32",
 ):
     """Fused Langevin solve; implemented in ops/pallas_kernels.py."""
     from ccvm_tpu.ops import pallas_kernels
@@ -28,7 +28,7 @@ def langevin_solve(
 
 def pumped_langevin_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    pump_rate_flag, rng="popcount",
+    pump_rate_flag, rng="popcount32",
 ):
     from ccvm_tpu.ops import pallas_kernels
 
@@ -40,7 +40,7 @@ def pumped_langevin_solve(
 
 def dl_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size, pump_rate_flag,
-    pump_is_gt_one, rng="popcount",
+    pump_is_gt_one, rng="popcount32",
 ):
     from ccvm_tpu.ops import pallas_kernels
 
@@ -53,7 +53,7 @@ def dl_solve(
 
 def mf_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    pump_rate_flag, rng="popcount",
+    pump_rate_flag, rng="popcount32",
 ):
     from ccvm_tpu.ops import pallas_kernels
 

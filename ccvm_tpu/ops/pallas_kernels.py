@@ -12,8 +12,11 @@ on-chip:
   * the batched matvec runs on the MXU (``jnp.dot`` with
     ``preferred_element_type=float32``);
   * Wiener increments come from the TPU hardware PRNG
-    (``pltpu.prng_random_bits``) through a Box-Muller transform — no HBM
-    noise tensors, no host RNG;
+    (``pltpu.prng_random_bits``) through a popcount-based exact-moment
+    binomial transform (or Box-Muller for exact Gaussians) — no HBM noise
+    tensors, no host RNG;
+  * the Euler-Maruyama loop runs 8 steps per Mosaic loop body
+    (:func:`_run_unrolled`) to amortise per-iteration loop overhead;
   * iteration-dependent schedules (pump rate, noise ratio, measurement
     strength) are computed on the scalar unit in-loop.
 
@@ -139,6 +142,33 @@ def _normal_pair_box_muller(shape):
 
 # Binomial(64) + uniform-smoothing normalisation: Var = 64/4 + 1/12.
 _POPC_INV_STD = float(1.0 / np.sqrt(16.0 + 1.0 / 12.0))
+# Binomial(32) normalisation: Var = 32/4.
+_POPC32_INV_STD = float(1.0 / np.sqrt(8.0))
+
+# Steps per fori_loop body.  The SDE loop is sequential, so unrolling cannot
+# add parallelism across steps, but it amortises Mosaic's per-iteration loop
+# overhead (bounds arithmetic, VMEM ref reload) over 8 steps — measured ~20%
+# faster at (168, 128) state.  A scalar tail loop covers iterations % 8 != 0.
+_UNROLL = 8
+
+
+def _normal_one_popcount(shape):
+    """One ~N(0,1) array from a single 32-bit word per element:
+    ``popcount(b) - 16`` is Binomial(32, 1/2) centred (variance 8), rescaled
+    to unit variance.  Mean/variance are exact, skew 0, excess kurtosis
+    -1/16, lattice spacing 0.35 sigma, support +-5.7 sigma.  Weak-order-1
+    Euler-Maruyama only requires the increment's first and second moments to
+    match (Kloeden & Platen, weak Taylor schemes — even Bernoulli +-1 noise
+    converges weakly), so SDE statistics are preserved; validated against the
+    exact-Gaussian lax path by tools/tpu_validate.py's 5-sigma bands.  Runs
+    on two cheap VPU integer ops — no transcendentals — making noise
+    generation a rounding error instead of ~40% of the fused step.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    pc = jax.lax.population_count(b)
+    return (pc - 16).astype(jnp.float32) * jnp.float32(_POPC32_INV_STD)
 
 
 def _normal_pair_popcount(shape):
@@ -172,20 +202,80 @@ def _normal_pair_popcount(shape):
     return one(0), one(1)
 
 
-def _noise_pair(shape, mask, noise_scale, rng="popcount"):
-    """Masked, scaled normal pair; statically elides the PRNG when
+_RNG_NAMES = ("popcount32", "popcount", "box_muller")
+
+
+def _noise_pair(shape, noise_scale, rng="popcount32"):
+    """Scaled normal pair; statically elides the PRNG when
     ``noise_scale == 0`` (the deterministic test mode — interpret-mode CPU
-    runs lack the TPU PRNG primitives)."""
+    runs lack the TPU PRNG primitives).
+
+    Noise is NOT masked off the padding columns: padded Q/V rows are zero, so
+    padding columns never contaminate real columns through the matvec, their
+    own dynamics are self-limiting, and the wrapper slices them away — the
+    mask multiply was pure overhead.
+    """
     if noise_scale == 0.0:
         z = jnp.zeros(shape, jnp.float32)
         return z, z
-    if rng == "popcount":
+    if rng == "popcount32":
+        z1, z2 = _normal_one_popcount(shape), _normal_one_popcount(shape)
+    elif rng == "popcount":
         z1, z2 = _normal_pair_popcount(shape)
     elif rng == "box_muller":
         z1, z2 = _normal_pair_box_muller(shape)
     else:
-        raise ValueError(f'rng must be "popcount" or "box_muller", got {rng!r}')
-    return z1 * (mask * noise_scale), z2 * (mask * noise_scale)
+        raise ValueError(f"rng must be one of {_RNG_NAMES}, got {rng!r}")
+    if noise_scale == 1.0:
+        return z1, z2
+    return z1 * noise_scale, z2 * noise_scale
+
+
+def _noise_one(shape, noise_scale, rng="popcount32"):
+    """Single scaled normal array — for the kernels that consume only one
+    Wiener draw per step (Langevin, pumped Langevin, MF), where generating a
+    pair would waste half the PRNG words."""
+    if noise_scale == 0.0:
+        return jnp.zeros(shape, jnp.float32)
+    if rng == "popcount32":
+        z = _normal_one_popcount(shape)
+    elif rng == "popcount":
+        z, _ = _normal_pair_popcount(shape)
+    elif rng == "box_muller":
+        z, _ = _normal_pair_box_muller(shape)
+    else:
+        raise ValueError(f"rng must be one of {_RNG_NAMES}, got {rng!r}")
+    if noise_scale == 1.0:
+        return z
+    return z * noise_scale
+
+
+def _run_unrolled(iterations, refs, step, unroll=_UNROLL):
+    """Drive ``step(state_tuple, fi) -> state_tuple`` for ``iterations`` steps
+    over VMEM ``refs``, ``unroll`` steps per loop body (state stays in
+    registers within a body; refs are read/written once per body).  A scalar
+    tail loop covers ``iterations % unroll``."""
+    main = (iterations // unroll) * unroll
+
+    def body(i, _):
+        st = tuple(r[:] for r in refs)
+        base = (i * unroll).astype(jnp.float32)
+        for u in range(unroll):
+            st = step(st, base + float(u))
+        for r, val in zip(refs, st):
+            r[:] = val
+        return 0
+
+    jax.lax.fori_loop(0, main // unroll, body, 0)
+    if main != iterations:
+
+        def tail(i, _):
+            st = step(tuple(r[:] for r in refs), i.astype(jnp.float32))
+            for r, val in zip(refs, st):
+                r[:] = val
+            return 0
+
+        jax.lax.fori_loop(main, iterations, tail, 0)
 
 
 def _maybe_seed(seed_ref, noise_scale):
@@ -272,21 +362,19 @@ def _langevin_kernel(
     scale = (hi - lo) / (2.0 * S)
     mid = (hi + lo) / 2.0
     batch, np_ = c_ref.shape
-    mask = _col_mask(batch, np_, n)
     v_row = v_ref[0, 0, :]
 
     c_ref[:] = jnp.zeros((batch, np_), jnp.float32)
 
-    def body(i, _):
-        c = c_ref[:]
+    def step(state, fi):
+        (c,) = state
         x = c * scale + mid
         drift = -(_matvec(x, q_ref) + v_row) * scale
-        w, _ = _noise_pair((batch, np_), mask, noise_scale, rng)
-        c = c + dt * fs * drift + sigma * sqrt_dt * w
-        c_ref[:] = jnp.clip(c, -S, S)
-        return 0
+        w = _noise_one((batch, np_), noise_scale, rng)
+        c = c + dt * fs * drift + (sigma * sqrt_dt) * w
+        return (jnp.clip(c, -S, S),)
 
-    jax.lax.fori_loop(0, iterations, body, 0)
+    _run_unrolled(iterations, (c_ref,), step)
 
 
 @functools.partial(
@@ -321,7 +409,7 @@ def _langevin_call(
 
 def langevin_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    interpret=False, noise_scale=1.0, rng="popcount",
+    interpret=False, noise_scale=1.0, rng="popcount32",
 ):
     """Fused Langevin solve, or None if the config doesn't fit the kernel."""
     if np.ndim(params.S) != 0:
@@ -369,24 +457,21 @@ def _pumped_langevin_kernel(
     scale = (hi - lo) / (2.0 * S)
     mid = (hi + lo) / 2.0
     batch, np_ = c_ref.shape
-    mask = _col_mask(batch, np_, n)
     v_row = v_ref[0, 0, :]
 
     c_ref[:] = jnp.zeros((batch, np_), jnp.float32)
 
-    def body(i, _):
-        c = c_ref[:]
-        fi = i.astype(jnp.float32)
+    def step(state, fi):
+        (c,) = state
         pump_i = pump * (fi + 1.0) / T if pump_rate_flag else pump
         x = c * scale + mid
         grads = -_matvec(x, q_ref) * scale - v_row * scale
         drift = (-1.0 + pump_i - jnp.square(c)) * c + fs * grads
-        w, _ = _noise_pair((batch, np_), mask, noise_scale, rng)
-        c = c + dt * drift + sigma * sqrt_dt * w
-        c_ref[:] = jnp.clip(c, -S, S)
-        return 0
+        w = _noise_one((batch, np_), noise_scale, rng)
+        c = c + dt * drift + (sigma * sqrt_dt) * w
+        return (jnp.clip(c, -S, S),)
 
-    jax.lax.fori_loop(0, iterations, body, 0)
+    _run_unrolled(iterations, (c_ref,), step)
 
 
 @functools.partial(
@@ -423,7 +508,7 @@ def _pumped_langevin_call(
 
 def pumped_langevin_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    pump_rate_flag, interpret=False, noise_scale=1.0, rng="popcount",
+    pump_rate_flag, interpret=False, noise_scale=1.0, rng="popcount32",
 ):
     if np.ndim(params.S) != 0:
         return None
@@ -476,15 +561,12 @@ def _dl_kernel(
     mid = hi + lo
     g3 = v_ref[0, 0, :] * span / (2.0 * S_d)
     batch, np_ = c_ref.shape
-    mask = _col_mask(batch, np_, n)
 
     c_ref[:] = jnp.zeros((batch, np_), jnp.float32)
     s_ref[:] = jnp.zeros((batch, np_), jnp.float32)
 
-    def body(i, _):
-        c = c_ref[:]
-        s = s_ref[:]
-        fi = i.astype(jnp.float32)
+    def step(state, fi):
+        c, s = state
         rate = (fi + 1.0) / T if pump_rate_flag else jnp.float32(1.0)
         nr_i = (noise_ratio - 1.0) * jnp.exp(-(fi + 1.0) / T * 3.0) + 1.0
         c_pow = jnp.square(c)
@@ -496,15 +578,14 @@ def _dl_kernel(
         fs_dyn = fs * (0.5 + rate)
         c_drift = -fs_dyn * (fb_c + g3) + (-1.0 + pump * rate - c_pow - s_pow) * c
         s_drift = -fs_dyn * (fb_s + g3) + (-1.0 - pump * rate - c_pow - s_pow) * s
-        w_c, w_s = _noise_pair((batch, np_), mask, noise_scale, rng)
-        w_c = w_c * (sqrt_dt * nr_i)
-        w_s = w_s * (sqrt_dt / nr_i)
+        w_c, w_s = _noise_pair((batch, np_), noise_scale, rng)
         diff = 2.0 * g * jnp.sqrt(c_pow + s_pow + 0.5)
-        c_ref[:] = c + dt * c_drift + diff * w_c
-        s_ref[:] = s + dt * s_drift + diff * w_s
-        return 0
+        return (
+            c + dt * c_drift + (diff * (sqrt_dt * nr_i)) * w_c,
+            s + dt * s_drift + (diff * (sqrt_dt / nr_i)) * w_s,
+        )
 
-    jax.lax.fori_loop(0, iterations, body, 0)
+    _run_unrolled(iterations, (c_ref, s_ref), step)
     # Final clamp to the *original* +-S (dl_solver.py:567)
     c_ref[:] = jnp.clip(c_ref[:], -S_user, S_user)
 
@@ -551,7 +632,7 @@ def _dl_call(
 def dl_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
     pump_rate_flag, pump_is_gt_one, interpret=False, noise_scale=1.0,
-    rng="popcount",
+    rng="popcount32",
 ):
     if np.ndim(params.S) != 0:
         return None
@@ -606,19 +687,16 @@ def _mf_kernel(
     mid = hi + lo
     g_sq = jnp.square(g)
     batch, np_ = mu_ref.shape
-    mask = _col_mask(batch, np_, n)
     v_row = v_ref[0, 0, :]
 
     mu_ref[:] = jnp.zeros((batch, np_), jnp.float32)
     mt_ref[:] = jnp.zeros((batch, np_), jnp.float32)
     sigma_ref[:] = jnp.full((batch, np_), 0.5, jnp.float32)
 
-    def body(i, _):
-        mu = mu_ref[:]
-        sigma = sigma_ref[:]
-        fi = i.astype(jnp.float32)
+    def step(state, fi):
+        mu, _, sigma = state
         j_i = j * jnp.exp(-(fi + 1.0) / T * 3.0)
-        w, _ = _noise_pair((batch, np_), mask, noise_scale, rng)
+        w = _noise_one((batch, np_), noise_scale, rng)
         w_inc = w / sqrt_dt
         mu_tilde = mu + jnp.sqrt(1.0 / (4.0 * j_i)) * w_inc
         mu_tilde_c = jnp.clip(mu_tilde, -S, S)
@@ -635,12 +713,13 @@ def _mf_kernel(
             + 2.0 * g_sq * mu_pow
         )
         mu_diffusion = jnp.sqrt(j_i) * (sigma - 0.5) * w_inc
-        mu_ref[:] = mu + dt * (drift_mu + mu_diffusion)
-        sigma_ref[:] = sigma + dt * drift_sigma
-        mt_ref[:] = mu_tilde
-        return 0
+        return (
+            mu + dt * (drift_mu + mu_diffusion),
+            mu_tilde,
+            sigma + dt * drift_sigma,
+        )
 
-    jax.lax.fori_loop(0, iterations, body, 0)
+    _run_unrolled(iterations, (mu_ref, mt_ref, sigma_ref), step)
 
 
 @functools.partial(
@@ -687,7 +766,7 @@ def _mf_call(
 
 def mf_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    pump_rate_flag, interpret=False, noise_scale=1.0, rng="popcount",
+    pump_rate_flag, interpret=False, noise_scale=1.0, rng="popcount32",
 ):
     if np.ndim(params.S) != 0:
         return None

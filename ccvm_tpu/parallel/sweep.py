@@ -161,7 +161,7 @@ def sweep_solve(
             raw = kernels.langevin_solve(
                 keys[0], qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
-                rng=getattr(solver, "kernel_rng", "popcount"),
+                rng=getattr(solver, "kernel_rng", "popcount32"),
             )
         if raw is None:
             raw = jax.vmap(
@@ -190,7 +190,7 @@ def sweep_solve(
                 keys[0], qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
                 pump_rate_flag=pump_rate_flag,
-                rng=getattr(solver, "kernel_rng", "popcount"),
+                rng=getattr(solver, "kernel_rng", "popcount32"),
             )
         if raw is None:
             raw = jax.vmap(
@@ -221,7 +221,7 @@ def sweep_solve(
                 keys[0], qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
                 pump_rate_flag=pump_rate_flag,
-                rng=getattr(solver, "kernel_rng", "popcount"),
+                rng=getattr(solver, "kernel_rng", "popcount32"),
                 pump_is_gt_one=bool(pk["pump"] > 1),
             )
         if out is None:
@@ -255,7 +255,7 @@ def sweep_solve(
                 keys[0], qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
                 pump_rate_flag=pump_rate_flag,
-                rng=getattr(solver, "kernel_rng", "popcount"),
+                rng=getattr(solver, "kernel_rng", "popcount32"),
             )
         if out is None:
             out = jax.vmap(

@@ -37,7 +37,7 @@ class LangevinSolver(CCVMSolver):
         mesh=None,
         backend="auto",
         timing="sync",
-        kernel_rng="popcount",
+        kernel_rng="popcount32",
     ):
         """
         Args:
@@ -48,10 +48,13 @@ class LangevinSolver(CCVMSolver):
             backend (str): "auto" | "lax" | "pallas" — "pallas" runs the whole
                 solve loop in a fused TPU kernel; "auto" picks it on TPU.
             timing (str): "sync" | "async" — see :class:`CCVMSolver`.
-            kernel_rng (str): "popcount" (default; exact-moment binomial+
-                uniform normals, ~70% faster steps) or "box_muller" (exact
-                Gaussian) — the Wiener-increment generator inside the fused
-                kernel.  The lax backend always uses exact Gaussians.
+            kernel_rng (str): the Wiener-increment generator inside the fused
+                kernel — "popcount32" (default; one PRNG word per normal,
+                exact mean/variance, weak-order-1 correct), "popcount"
+                (three words: binomial+uniform smoothing) or "box_muller"
+                (exact Gaussian, ~4x slower steps).  All three pass the
+                5-sigma solution-statistics bands of tools/tpu_validate.py;
+                the lax backend always uses exact Gaussians.
         """
         super().__init__(device, mesh=mesh, timing=timing)
         self.batch_size = batch_size

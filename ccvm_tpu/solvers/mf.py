@@ -33,7 +33,7 @@ class MFSolver(CCVMSolver):
         mesh=None,
         backend="auto",
         timing="sync",
-        kernel_rng="popcount",
+        kernel_rng="popcount32",
     ):
         super().__init__(device, mesh=mesh, timing=timing)
         self.batch_size = batch_size

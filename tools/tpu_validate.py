@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--iterations", type=int, default=15000)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--rng", default="popcount32",
+                    choices=("popcount32", "popcount", "box_muller"),
+                    help="hardware-PRNG scheme used by the Pallas backend")
     args = ap.parse_args()
 
     device = default_device()
@@ -67,7 +70,8 @@ def main():
     for name, (cls, base) in PARAMS.items():
         perf = {}
         for backend in ("pallas", "lax"):
-            solver = cls(device=device, batch_size=args.batch, backend=backend)
+            solver = cls(device=device, batch_size=args.batch, backend=backend,
+                         kernel_rng=args.rng)
             params = dict(base)
             params["iterations"] = args.iterations
             solver.parameter_key = {20: params}
