@@ -38,18 +38,12 @@ _INSTANCE_CANDIDATES = [
 def main():
     import jax
 
+    from ccvm_tpu import DLSolver, ProblemInstance
+    from ccvm_tpu.runtime import default_device, enable_compilation_cache
+
     # Persistent compilation cache: the warm-up run pays compile once per
     # machine instead of once per process.
-    try:
-        cache_dir = os.path.expanduser("~/.cache/ccvm_tpu_jax_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-    from ccvm_tpu import DLSolver, ProblemInstance
-    from ccvm_tpu.runtime import default_device
+    enable_compilation_cache()
 
     device = default_device()
     instance_path = next(p for p in _INSTANCE_CANDIDATES if os.path.exists(p))

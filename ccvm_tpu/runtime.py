@@ -69,3 +69,27 @@ def default_device() -> str:
 def put(x, device: str):
     """Place an array on the resolved device."""
     return jax.device_put(np.asarray(x), resolve_device(device))
+
+
+def enable_compilation_cache(
+    cache_dir: str = "~/.cache/ccvm_tpu_jax_cache",
+    min_compile_time_secs: float = 1.0,
+) -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    The fused solve kernels compile once per (solver, problem size, batch,
+    iterations) combination — tens of seconds each on a tunneled TPU — so
+    long-running entry points (bench.py, benchmarking_study.py) pay compiles
+    once per machine instead of once per process.  Safe to call repeatedly.
+    """
+    import os
+
+    try:
+        path = os.path.expanduser(cache_dir)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_time_secs
+        )
+    except Exception:
+        pass  # cache is an optimisation; never fail the caller

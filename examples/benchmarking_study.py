@@ -72,6 +72,9 @@ def build_solver(name, device, batch_size, sizes, iterations, mesh=None):
 
 
 def run_sweep(args):
+    from ccvm_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     device = default_device()
     mesh = None
     if args.mesh:
