@@ -73,3 +73,48 @@ def local_shard_bounds(total: int) -> tuple[int, int]:
     per = -(-total // jax.process_count())
     start = min(per * jax.process_index(), total)
     return start, min(start + per, total)
+
+
+def run_resilient(items, fn, *, max_attempts=3, on_failure=None):
+    """Failure-tolerant work loop for benchmark sweeps (SURVEY.md section 5).
+
+    Runs ``fn(item)`` for every work item; an item whose attempt raises is
+    re-queued at the back (up to ``max_attempts`` attempts each) so one bad
+    solve — a transient device error, an OOM on an oversized stacked batch, a
+    compile failure for an odd shape — doesn't abort a multi-hour sweep.
+
+    Scope (honest limits): this recovers *per-item* failures within a live
+    process.  Losing a whole host in a multi-host run kills the collective
+    runtime itself; recovery there is restart + :mod:`ccvm_tpu.checkpoint`
+    resume, not re-queuing.
+
+    Args:
+        items: iterable of hashable-by-index work items.
+        fn: ``fn(item) -> result``; exceptions mark the attempt failed.
+        max_attempts: attempts per item before it lands in ``failures``.
+        on_failure: optional ``on_failure(item, exc, attempt)`` callback
+            (logging/metrics).
+
+    Returns:
+        (results, failures): ``results[i]`` is ``fn(items[i])`` for items that
+        succeeded; ``failures[i]`` is the last exception for items that
+        exhausted their attempts.  Indices refer to the input order.
+    """
+    queue = [(i, item, 1) for i, item in enumerate(items)]
+    results, failures = {}, {}
+    while queue:
+        idx, item, attempt = queue.pop(0)
+        try:
+            results[idx] = fn(item)
+        except Exception as exc:  # noqa: BLE001 — any solve failure re-queues
+            if on_failure is not None:
+                on_failure(item, exc, attempt)
+            logger.warning(
+                "work item %d failed (attempt %d/%d): %s",
+                idx, attempt, max_attempts, exc,
+            )
+            if attempt < max_attempts:
+                queue.append((idx, item, attempt + 1))
+            else:
+                failures[idx] = exc
+    return results, failures

@@ -131,7 +131,10 @@ def run_sweep(args):
                     metadata.add_to_result_metadata(solution.get_metadata_dict())
                     n_opt += solution.solution_performance["optimal"]
             else:
-                for idx, instance_file in enumerate(files):
+                # Failure-tolerant serial path: a transient per-solve failure
+                # re-queues the instance instead of aborting the sweep.
+                def solve_one(work):
+                    idx, instance_file = work
                     instance = ProblemInstance(
                         instance_type="tuning",
                         file_path=instance_file,
@@ -140,13 +143,21 @@ def run_sweep(args):
                     instance.scale_coefs(
                         solver.get_scaling_factor(instance.q_matrix)
                     )
-                    solution = solver(
+                    return solver(
                         instance,
                         post_processor=args.post_processor or None,
                         seed=args.seed + idx,
                     )
+
+                results, failed = multihost.run_resilient(
+                    list(enumerate(files)), solve_one
+                )
+                for idx in sorted(results):
+                    solution = results[idx]
                     metadata.add_to_result_metadata(solution.get_metadata_dict())
                     n_opt += solution.solution_performance["optimal"]
+                for idx, exc in sorted(failed.items()):
+                    print(f"[{name}] FAILED after retries: {files[idx]}: {exc}")
             wall = time.perf_counter() - t0
             mean_opt = n_opt / len(files)
             summary.append((name, size, len(files), mean_opt, wall))

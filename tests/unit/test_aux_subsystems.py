@@ -162,3 +162,49 @@ class TestMultihost:
         from ccvm_tpu.parallel import multihost
 
         multihost.initialize()  # must not raise without a coordinator
+
+
+class TestRunResilient:
+    """Failure-tolerant sweep work loop (ccvm_tpu.parallel.multihost)."""
+
+    def test_all_succeed(self):
+        from ccvm_tpu.parallel.multihost import run_resilient
+
+        results, failures = run_resilient([1, 2, 3], lambda x: x * 10)
+        assert results == {0: 10, 1: 20, 2: 30}
+        assert failures == {}
+
+    def test_transient_failure_requeues(self):
+        from ccvm_tpu.parallel.multihost import run_resilient
+
+        attempts = {}
+
+        def flaky(x):
+            attempts[x] = attempts.get(x, 0) + 1
+            if x == 2 and attempts[x] < 3:
+                raise RuntimeError("transient")
+            return x
+
+        results, failures = run_resilient([1, 2, 3], flaky, max_attempts=3)
+        assert results == {0: 1, 1: 2, 2: 3}
+        assert failures == {}
+        assert attempts[2] == 3  # re-queued twice, succeeded third time
+
+    def test_permanent_failure_reported(self):
+        from ccvm_tpu.parallel.multihost import run_resilient
+
+        seen = []
+
+        def bad(x):
+            if x == "b":
+                raise ValueError("always broken")
+            return x.upper()
+
+        results, failures = run_resilient(
+            ["a", "b"], bad, max_attempts=2,
+            on_failure=lambda item, exc, att: seen.append((item, att)),
+        )
+        assert results == {0: "A"}
+        assert list(failures) == [1]
+        assert isinstance(failures[1], ValueError)
+        assert seen == [("b", 1), ("b", 2)]
