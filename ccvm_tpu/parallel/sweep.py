@@ -23,6 +23,17 @@ import numpy as np
 from ccvm_tpu.solution import Solution
 
 
+@jax.jit
+def _stacked_energy(confs, qs, vs, scaled_by):
+    """(I, B, n) configurations -> (I, B) objectives in one computation —
+    vmapped form of ``problem_instance._energy_kernel`` (0.5 xQx + Vx, scaled
+    per instance)."""
+    qx = jnp.einsum("ibj,ijk->ibk", confs, qs, preferred_element_type=confs.dtype)
+    e1 = jnp.sum(confs * qx, axis=-1)
+    e2 = jnp.einsum("ibj,ij->ib", confs, vs)
+    return (0.5 * e1 + e2) * scaled_by[:, None]
+
+
 def _stack_instances(solver, instances):
     """Validate and stack instances into (I, N, N) / (I, N) arrays."""
     if not instances:
@@ -302,13 +313,21 @@ def sweep_solve(
     else:
         confs = problem_variables
 
+    # One stacked energy evaluation + ONE device->host readback for the whole
+    # sweep (a per-instance compute_energy/Solution loop costs one host<->
+    # device round trip PER INSTANCE — tens of ms each through a TPU tunnel).
+    scaled_by = jnp.asarray(
+        [np.float32(getattr(i, "scaled_by", 1.0)) for i in instances]
+    )
+    objvals = np.asarray(_stacked_energy(confs, qs, vs, scaled_by))
+
     # Per-instance Solutions; wall time attributed evenly across the sweep
     # then batch-normalized (reference solve-time semantics, dl_solver.py:933).
     solve_time = solve_wall / (num_instances * batch_size)
     pp_time = pp_wall / (num_instances * batch_size)
     solutions = []
     for i, inst in enumerate(instances):
-        objval = inst.compute_energy(confs[i])
+        objval = objvals[i]
         variables = {"problem_variables": problem_variables[i]}
         for k, v in extra_vars.items():
             variables[k] = v[i]

@@ -92,6 +92,14 @@ def run_sweep(args):
 
     summary = []
     for name in solver_names:
+        # DL ships without post-processing (like the reference's own DL
+        # example): the reference's DL readout applies change_variables to
+        # post-processed output a second time (dl_solver.py:941-958), which
+        # we replicate for behavioural parity — so post-processing corrupts
+        # DL solutions by design.  Langevin/MF examples use grad-descent.
+        pp = args.post_processor or None
+        if name == "dl" and args.post_processor == "grad-descent":
+            pp = None
         solver = build_solver(
             name, device, args.batch_size, sizes, args.iterations, mesh
         )
@@ -122,7 +130,7 @@ def run_sweep(args):
                 solutions = sweep_solve(
                     solver,
                     instances,
-                    post_processor=args.post_processor or None,
+                    post_processor=pp,
                     seed=args.seed,
                     scale=True,
                     mesh=mesh,
@@ -145,7 +153,7 @@ def run_sweep(args):
                     )
                     return solver(
                         instance,
-                        post_processor=args.post_processor or None,
+                        post_processor=pp,
                         seed=args.seed + idx,
                     )
 
@@ -180,15 +188,30 @@ def run_sweep(args):
             matplotlib.use("Agg")
             from ccvm_tpu.ccvmplotlib import ccvmplotlib
 
-            fig, ax = ccvmplotlib.plot_TTS(
-                metadata_filepath=metadata_path,
-                problem="BoxQP",
-                machine_time_func=solver.machine_time(machine=MACHINES[name]),
-            )
-            ccvmplotlib.apply_default_tts_styling(fig, ax)
-            plot_path = os.path.join(args.output_dir, f"{name}_TTS.png")
-            fig.savefig(plot_path)
-            print(f"[{name}] TTS plot -> {plot_path}")
+            # Plot failures (e.g. all-inf TTS when a solver never reaches a
+            # gap level) must not abort the remaining solvers' sweeps.
+            try:
+                fig, ax = ccvmplotlib.plot_TTS(
+                    metadata_filepath=metadata_path,
+                    problem="BoxQP",
+                    machine_time_func=solver.machine_time(machine=MACHINES[name]),
+                )
+                ccvmplotlib.apply_default_tts_styling(fig, ax)
+                plot_path = os.path.join(args.output_dir, f"{name}_TTS.png")
+                fig.savefig(plot_path)
+                print(f"[{name}] TTS plot -> {plot_path}")
+            except ValueError as e:
+                print(f"[{name}] TTS plot skipped: {e}")
+            try:
+                fig, ax = ccvmplotlib.plot_success_prob(
+                    metadata_filepath=metadata_path, problem="BoxQP"
+                )
+                ccvmplotlib.apply_default_succ_prob_styling(fig, ax)
+                plot_path = os.path.join(args.output_dir, f"{name}_success_prob.png")
+                fig.savefig(plot_path)
+                print(f"[{name}] success-prob plot -> {plot_path}")
+            except ValueError as e:
+                print(f"[{name}] success-prob plot skipped: {e}")
 
     print("\n=== Sweep summary ===")
     print(f"{'solver':<10}{'size':>6}{'n':>5}{'P(optimal)':>12}{'wall_s':>9}")

@@ -134,3 +134,55 @@ class TestPlotData:
         assert df.at[20, ("optimal", "success_prob")] == pytest.approx(0.5)
         assert df.at[30, ("optimal", "success_prob")] == pytest.approx(0.2)
         assert df.at[20, ("ten_percent", "success_prob")] == pytest.approx(1.0)
+
+
+class TestInvalidMetadata:
+    """Mirrors the reference's invalid-metadata fixtures
+    (tests/data/metadata/invalid_*_metadata.json)."""
+
+    def _write(self, tmp_path, results):
+        import json
+        p = tmp_path / "meta.json"
+        p.write_text(json.dumps({"device": "cpu", "result_metadata": results}))
+        return str(p)
+
+    def test_zero_performance_makes_tts_unplottable(self, tmp_path):
+        """All-zero success probabilities -> R99 inf at every percentile ->
+        plot_TTS raises (reference invalid_zero_performance_metadata)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import pytest
+        from ccvm_tpu.ccvmplotlib import ccvmplotlib
+
+        zero_perf = {k: 0.0 for k in (
+            "optimal", "one_percent", "two_percent", "three_percent",
+            "four_percent", "five_percent", "ten_percent")}
+        results = [
+            {"problem_size": 20, "batch_size": 10, "instance_name": f"i{j}",
+             "iterations": 100, "solve_time": 0.1, "pp_time": 0.01,
+             "optimal_value": 1.0, "best_value": 1.0, "num_frac_values": 0,
+             "solution_vector": None, "device": "cpu",
+             "solution_performance": dict(zero_perf)}
+            for j in range(3)
+        ]
+        path = self._write(tmp_path, results)
+        with pytest.raises(ValueError, match="too large to plot"):
+            ccvmplotlib.plot_TTS(
+                path, "BoxQP",
+                machine_time_func=lambda dataframe, problem_size: 1.0,
+            )
+
+    def test_missing_field_fails_ingest_or_plot(self, tmp_path):
+        """A result row missing solution_performance cannot be ingested
+        (reference invalid_incorrect_field_metadata)."""
+        import pytest
+        from ccvm_tpu.ccvmplotlib.problem_metadata import (
+            ProblemMetadataFactory,
+        )
+
+        results = [{"problem_size": 20, "batch_size": 10, "solve_time": 0.1}]
+        path = self._write(tmp_path, results)
+        meta = ProblemMetadataFactory.create_problem_metadata("BoxQP")
+        with pytest.raises((KeyError, ValueError)):
+            meta.ingest_metadata(path)
+            meta.generate_plot_data(lambda dataframe, problem_size: 1.0)
