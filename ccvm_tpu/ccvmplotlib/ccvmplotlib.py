@@ -1,22 +1,24 @@
-"""Plotting library for CCVM solver results (API parity with
-``ccvm_simulators/ccvmplotlib/ccvmplotlib.py``): TTS, ETS and
-success-probability plots with median + IQR styling, all host-side
-matplotlib/pandas over the metadata JSON produced by :mod:`ccvm_tpu.metadata`.
+"""Plotting library for CCVM solver results.
+
+API parity with ``ccvm_simulators/ccvmplotlib/ccvmplotlib.py`` (same public
+entry points, same metadata-JSON-in / (fig, ax)-out contract: ``plot_TTS`` /
+``plot_ETS`` draw a median line with an inter-quartile band per gap level on
+a log axis; ``plot_success_prob`` draws mean success per gap level), with an
+original implementation: the quartile renderer works off vectorized slices
+of the plotting table rather than per-column loops over the MultiIndex, and
+the TTS axis window is derived from the median matrix in one pass.
 """
 
 from __future__ import annotations
 
-import math
-
 import matplotlib
 import matplotlib.pyplot as plt
 import numpy as np
-import pandas
-from matplotlib import cm
 
 from ccvm_tpu.ccvmplotlib.problem_metadata import ProblemMetadataFactory
 
-TTS_UPPER_LIMIT = 1e20  # Approximate age of the universe in sec.
+TTS_UPPER_LIMIT = 1e20  # Roughly the age of the universe in seconds.
+_TTS_WINDOW_DECADES = 6  # Cap the visible band this many decades above best.
 PERC_GAP_LABEL_MAP = {
     "optimal": r"0.1% gap",
     "one_percent": r"1% gap",
@@ -28,143 +30,140 @@ PERC_GAP_LABEL_MAP = {
 }
 
 
+def _load_plot_table(metadata_filepath, problem, metric_func=None):
+    """metadata JSON -> plotting DataFrame via the problem-metadata layer."""
+    meta = ProblemMetadataFactory.create_problem_metadata(problem)
+    meta.ingest_metadata(metadata_filepath)
+    if metric_func is None:
+        return meta.generate_success_prob_plot_data()
+    return meta.generate_plot_data(metric_func=metric_func)
+
+
+def _gap_palette(gaps):
+    """One rainbow color per gap level."""
+    cmap = matplotlib.colormaps["rainbow"]
+    if len(gaps) == 1:
+        return {gaps[0]: cmap(0.0)}
+    return {g: cmap(k / (len(gaps) - 1)) for k, g in enumerate(gaps)}
+
+
+def _quartile_slices(table):
+    """(sizes, gaps, q25, q50, q75) as plain numpy from the plotting table."""
+    sizes = np.asarray(table.index)
+    gaps = list(table.columns.levels[0])
+    per_q = {
+        q: table.loc[:, (slice(None), q)].droplevel(1, axis=1)[gaps]
+        .to_numpy(dtype=float)
+        for q in ("25", "50", "75")
+    }
+    return sizes, gaps, per_q["25"], per_q["50"], per_q["75"]
+
+
 class ccvmplotlib:
     """A generic plotting library for problems solved by CCVM solvers."""
 
     @staticmethod
-    def __plot_core(plotting_df, fig=None, ax=None):
-        """Median line + IQR band per gap level."""
-        x_data = plotting_df.index
-
-        if not ax or not fig:
+    def _render_quartile_bands(table, fig=None, ax=None):
+        """Median line + inter-quartile band per gap level."""
+        if fig is None or ax is None:
             fig, ax = plt.subplots()
-
-        color_iter = cm.rainbow(
-            np.linspace(0, 1, len(plotting_df.columns.levels[0]))
-        )
-        for lvl0_column_name, color in zip(plotting_df.columns.levels[0], color_iter):
-            ax.fill_between(
-                x_data,
-                list(plotting_df[lvl0_column_name, "25"]),
-                list(plotting_df[lvl0_column_name, "75"]),
-                color=color,
-                alpha=0.2,
-            )
+        sizes, gaps, lo, mid, hi = _quartile_slices(table)
+        palette = _gap_palette(gaps)
+        for k, gap in enumerate(gaps):
+            color = palette[gap]
+            ax.fill_between(sizes, lo[:, k], hi[:, k], color=color, alpha=0.25)
             ax.plot(
-                x_data,
-                plotting_df[lvl0_column_name, "50"],
-                linestyle="-",
-                marker="s",
-                label=PERC_GAP_LABEL_MAP.get(lvl0_column_name, lvl0_column_name),
-                color=color,
-                linewidth=4.0,
+                sizes, mid[:, k],
+                marker="s", linewidth=3.0, color=color,
+                label=PERC_GAP_LABEL_MAP.get(gap, gap),
             )
-
-        ax.plot(
-            [], [], linestyle="-", marker="s", label="(median)", color="black",
-            linewidth=4.0,
-        )
-        ax.fill_between([], [], alpha=0.2, label="(IQR)")
-        return (fig, ax)
+        # Legend keys for the statistics themselves.
+        ax.plot([], [], marker="s", linewidth=3.0, color="black",
+                label="(median)")
+        ax.fill_between([], [], alpha=0.25, label="(IQR)")
+        return fig, ax
 
     @staticmethod
-    def plot_TTS(metadata_filepath, problem, machine_time_func, fig=None, ax=None):
+    def plot_TTS(metadata_filepath, problem, machine_time_func, fig=None,
+                 ax=None):
         """Plot Time-To-Solution vs problem size.
 
         Raises:
-            ValueError: When TTS medians exceed the plottable limit.
+            ValueError: when every median TTS exceeds the plottable limit
+                (nothing was ever solved).
         """
-        problem_metadata = ProblemMetadataFactory.create_problem_metadata(problem)
-        problem_metadata.ingest_metadata(metadata_filepath)
-        plotting_df = problem_metadata.generate_plot_data(
-            metric_func=machine_time_func
-        )
+        table = _load_plot_table(metadata_filepath, problem, machine_time_func)
+        fig, ax = ccvmplotlib._render_quartile_bands(table, fig, ax)
 
-        (fig, ax) = ccvmplotlib.__plot_core(plotting_df, fig, ax)
-
-        min_median = np.inf
-        max_median = -np.inf
-        for lvl0_column in plotting_df.columns.levels[0]:
-            min_median = min(min_median, np.min(plotting_df[lvl0_column, "50"]))
-            max_median = max(max_median, np.max(plotting_df[lvl0_column, "50"]))
-
-        if min_median >= TTS_UPPER_LIMIT:
+        _, _, _, medians, _ = _quartile_slices(table)
+        best = np.nanmin(medians)
+        if not best < TTS_UPPER_LIMIT:
             raise ValueError(
                 "TTS values are too large to plot. Please check the result"
-                f" data. Minimum TTS median value: {min_median}"
+                f" data. Minimum TTS median value: {best}"
             )
-        upper_lim = 10 ** (
-            math.ceil(np.log10(min(min_median * (1e6), max_median))) + 1
-        )
-        lower_lim = 10 ** (math.floor(np.log10(min_median)) - 1)
-
-        ax.set_ylim(lower_lim, upper_lim)
+        # Window: one decade of margin around the medians, capped at
+        # _TTS_WINDOW_DECADES decades above the best median so a few
+        # unsolved-at-this-gap infinities cannot flatten the whole plot.
+        worst_shown = min(np.nanmax(medians[np.isfinite(medians)]),
+                          best * 10.0 ** _TTS_WINDOW_DECADES)
         ax.set_yscale("log")
-        ax.set_xticks(plotting_df.index)
-        return (fig, ax)
+        ax.set_ylim(
+            10.0 ** (np.floor(np.log10(best)) - 1),
+            10.0 ** (np.ceil(np.log10(worst_shown)) + 1),
+        )
+        ax.set_xticks(table.index)
+        return fig, ax
 
     @staticmethod
-    def plot_ETS(metadata_filepath, problem, machine_energy_func, fig=None, ax=None):
+    def plot_ETS(metadata_filepath, problem, machine_energy_func, fig=None,
+                 ax=None):
         """Plot Energy-To-Solution vs problem size."""
-        problem_metadata = ProblemMetadataFactory.create_problem_metadata(problem)
-        problem_metadata.ingest_metadata(metadata_filepath)
-        plotting_df = problem_metadata.generate_plot_data(
-            metric_func=machine_energy_func
-        )
-
-        (fig, ax) = ccvmplotlib.__plot_core(plotting_df, fig, ax)
-        plt.yscale("log")
-        ax.set_xticks(plotting_df.index)
-        return (fig, ax)
+        table = _load_plot_table(metadata_filepath, problem,
+                                 machine_energy_func)
+        fig, ax = ccvmplotlib._render_quartile_bands(table, fig, ax)
+        ax.set_yscale("log")
+        ax.set_xticks(table.index)
+        return fig, ax
 
     @staticmethod
     def plot_success_prob(metadata_filepath, problem, fig=None, ax=None):
-        """Plot success probability vs problem size.
+        """Plot mean success probability vs problem size.
 
         Raises:
-            ValueError: When all success probabilities are zero.
+            ValueError: when all success probabilities are zero.
         """
-        problem_metadata = ProblemMetadataFactory.create_problem_metadata(problem)
-        problem_metadata.ingest_metadata(metadata_filepath)
-        plotting_df = problem_metadata.generate_success_prob_plot_data()
-        x_data = plotting_df.index.tolist()
-
-        if not ax or not fig:
+        table = _load_plot_table(metadata_filepath, problem)
+        if fig is None or ax is None:
             fig, ax = plt.subplots()
 
-        color_iter = cm.rainbow(
-            np.linspace(0, 1, len(plotting_df.columns.levels[0]))
+        sizes = np.asarray(table.index)
+        gaps = list(table.columns.levels[0])
+        probs = (
+            table.loc[:, (slice(None), "success_prob")]
+            .droplevel(1, axis=1)[gaps]
+            .to_numpy(dtype=float)
         )
-        max_succ_prob = -np.inf
-        for lvl0_column_name, color in zip(plotting_df.columns.levels[0], color_iter):
-            max_succ_prob = max(
-                max_succ_prob,
-                np.max(plotting_df[lvl0_column_name, "success_prob"]),
-            )
-            ax.plot(
-                x_data,
-                plotting_df[lvl0_column_name, "success_prob"],
-                linestyle="-",
-                marker="s",
-                label=PERC_GAP_LABEL_MAP.get(lvl0_column_name, lvl0_column_name),
-                color=color,
-            )
-        if max_succ_prob == 0.0:
+        if not (np.nanmax(probs) > 0.0):
             raise ValueError(
                 "Success Probability values are all 0.0. Please check the"
                 " result data."
             )
-
+        palette = _gap_palette(gaps)
+        for k, gap in enumerate(gaps):
+            ax.plot(
+                sizes, probs[:, k], marker="s", color=palette[gap],
+                label=PERC_GAP_LABEL_MAP.get(gap, gap),
+            )
         ax.set_yscale("log")
-        ax.set_xticks(x_data)
-        return (fig, ax)
+        ax.set_xticks(sizes)
+        return fig, ax
 
-    # ----- styling statics (parity with reference :240-404) -----
+    # ----- default styling (same look knobs the reference exposes) -----
 
     @staticmethod
     def set_default_figsize(fig) -> None:
-        fig.set_figwidth(8.0)
-        fig.set_figheight(7.0)
+        fig.set_size_inches(8.0, 7.0)
 
     @staticmethod
     def set_default_xlabel(ax, xlabel: str) -> None:
@@ -176,33 +175,24 @@ class ccvmplotlib:
 
     @staticmethod
     def set_default_ticks(ax) -> None:
-        ax.tick_params(axis="x", labelsize=32)
-        ax.tick_params(axis="y", labelsize=32)
+        ax.tick_params(axis="both", labelsize=32)
 
     @staticmethod
     def set_default_legend(ax) -> None:
-        handles, labels = plt.gca().get_legend_handles_labels()
-        label_list = list(PERC_GAP_LABEL_MAP.values())
-        label_list.extend(["(median)", "(IQR)"])
-        legend_orders = []
-        for label in label_list:
-            try:
-                legend_orders.append(labels.index(label))
-            except Exception:
-                pass
+        """Order legend entries: gap levels first, then the statistic keys."""
+        handles, labels = ax.get_legend_handles_labels()
+        preferred = list(PERC_GAP_LABEL_MAP.values()) + ["(median)", "(IQR)"]
+        order = [labels.index(lbl) for lbl in preferred if lbl in labels]
         ax.legend(
-            [handles[idx] for idx in legend_orders],
-            [labels[idx] for idx in legend_orders],
-            loc="best",
-            ncol=2,
+            [handles[i] for i in order],
+            [labels[i] for i in order],
+            loc="best", ncol=2,
         )
 
     @staticmethod
     def set_default_grid(ax) -> None:
-        ax.grid(
-            visible=True, which="major", axis="both", color="#666666",
-            linestyle="--",
-        )
+        ax.grid(visible=True, which="major", axis="both", color="#666666",
+                linestyle="--")
 
     @staticmethod
     def _apply_default_styling(fig, ax, ylabel: str) -> None:

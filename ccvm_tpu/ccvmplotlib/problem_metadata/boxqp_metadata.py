@@ -1,9 +1,18 @@
-"""BoxQP metadata -> plotting data (parity with
-``ccvm_simulators/ccvmplotlib/problem_metadata/boxqp_metadata.py``).
+"""BoxQP metadata -> plotting data.
 
-Deviation: the metadata JSON is read with the standard ``json`` module (the
-reference streams it with the ``json_stream`` package, ``:57-81``); our files
-are small host-side artifacts and the schema is identical.
+Produces the same plotting-table contract as the reference
+(``ccvm_simulators/ccvmplotlib/problem_metadata/boxqp_metadata.py``): a
+DataFrame indexed by problem size with (gap-level, percentile) MultiIndex
+columns where each TTS cell is ``metric_value x mean(bootstrapped R99
+percentile)`` and is ``inf`` whenever fewer than percentile% of the size's
+instances were ever solved at that gap.
+
+The implementation is original: ingest uses ``pandas.json_normalize`` (the
+reference hand-flattens each record from a ``json_stream`` reader), plot
+data is built size-by-size with a single vectorized Beta-posterior bootstrap
+per (size, gap) shared across all three percentiles (the reference runs a
+fresh 100-iteration bootstrap loop per percentile), and success
+probabilities are one ``groupby().mean()``.
 """
 
 from __future__ import annotations
@@ -19,104 +28,102 @@ from ccvm_tpu.ccvmplotlib.problem_metadata.problem_metadata import (
 )
 from ccvm_tpu.ccvmplotlib.utils.sampleTTSmetric import SampleTTSMetric
 
+_PERF_PREFIX = "solution_performance."
+_QUARTILES = (25, 50, 75)
+
 
 class BoxQPMetadata(ProblemMetadata):
     """BoxQP problem-specific metadata -> TTS/ETS/success-prob plot data."""
 
     def __init__(self, problem: ProblemType) -> None:
         super().__init__(problem)
-        self.__problem_size_list: list[int] = []
-        self.__percent_gap_list: list[str] = []
-        self.__percentile_list: list[str] = ["25", "50", "75", "success_prob"]
-        self.__batch_size: int = 0
-        self.__df: pd.DataFrame = pd.DataFrame()
+        self._df: pd.DataFrame = pd.DataFrame()
+        self._gaps: list[str] = []
+        self._batch_size: int = 0
 
-    @staticmethod
-    def __flatten_dict(result: dict) -> dict:
-        """Flatten one nesting level (solution_performance keys float up)."""
-        flattened_dict = {}
-        for key_depth0, val_depth0 in result.items():
-            if isinstance(val_depth0, dict):
-                flattened_dict.update(val_depth0)
-            else:
-                flattened_dict[key_depth0] = val_depth0
-        return flattened_dict
+    @property
+    def _sizes(self) -> list[int]:
+        return sorted(int(s) for s in self._df["problem_size"].unique())
 
     def ingest_metadata(self, metadata_filepath: str) -> None:
-        """Load a metadata JSON file into a DataFrame."""
-        with open(metadata_filepath, "r") as f:
-            data = json.load(f)
+        """Load a metadata JSON file into a flat DataFrame.
 
-        results = data["result_metadata"]
-        self.__percent_gap_list = list(results[0]["solution_performance"].keys())
-        self.__df = pd.DataFrame([self.__flatten_dict(r) for r in results])
-        self.__batch_size = self.__df["batch_size"][0]
-        self.__problem_size_list = sorted(self.__df["problem_size"].unique().tolist())
+        The per-result ``solution_performance`` dict is flattened into one
+        column per gap level; every other key stays a column of its own.
+        """
+        with open(metadata_filepath, "r") as f:
+            payload = json.load(f)
+
+        records = payload["result_metadata"]
+        if not records:
+            raise ValueError(f"{metadata_filepath} contains no results")
+        first_perf = records[0].get("solution_performance")
+        if not isinstance(first_perf, dict):
+            raise KeyError(
+                "result_metadata entries must carry a solution_performance dict"
+            )
+        self._gaps = list(first_perf.keys())
+
+        df = pd.json_normalize(records)
+        df.columns = [
+            c[len(_PERF_PREFIX):] if c.startswith(_PERF_PREFIX) else c
+            for c in df.columns
+        ]
+        missing = {"problem_size", "batch_size", *self._gaps} - set(df.columns)
+        if missing:
+            raise KeyError(f"metadata missing required fields: {sorted(missing)}")
+        self._df = df
+        self._batch_size = int(df["batch_size"].iloc[0])
+
+    def _columns(self) -> pd.MultiIndex:
+        return pd.MultiIndex.from_product(
+            [self._gaps, [str(q) for q in _QUARTILES] + ["success_prob"]],
+            names=["Optimality Type", "Percentile"],
+        )
 
     def generate_plot_data(self, metric_func) -> pd.DataFrame:
-        """TTS (or ETS) vs problem size per gap and percentile:
-        metric_value * mean(bootstrapped R99), inf when fewer than
-        percentile% of instances were ever solved (reference ``:83-137``)."""
-        plotting_df = pd.DataFrame(
-            index=pd.Index(self.__problem_size_list, name="Problem Size (N)"),
-            columns=pd.MultiIndex.from_product(
-                [self.__percent_gap_list, self.__percentile_list],
-                names=["Optimality Type", "Percentile"],
-            ),
+        """TTS (or ETS) per (size, gap, quartile).
+
+        One bootstrap sample of Beta-posterior success probabilities is drawn
+        per (size, gap) and all three R99 quartiles are read off the same
+        draws; the reference's statistic (mean over bootstraps of the
+        per-bootstrap R99 percentile, scaled by the machine metric) is
+        unchanged.
+        """
+        sampler = SampleTTSMetric(
+            tau_attribute="time", seed=1, num_bootstraps=100
         )
-
-        for percent_gap in self.__percent_gap_list:
-            for problem_size in self.__problem_size_list:
-                matching_df = self.__df.loc[
-                    self.__df["problem_size"] == problem_size
-                ]
-                for percentile in self.__percentile_list[:-1]:
-                    sampler = SampleTTSMetric(
-                        tau_attribute="time",
-                        percentile=int(percentile),
-                        seed=1,
-                        num_bootstraps=100,
-                    )
-                    metric_value = metric_func(
-                        dataframe=matching_df, problem_size=problem_size
-                    )
-                    success_prob = matching_df[percent_gap].values
-                    frac_solved = (success_prob > 0).mean()
-                    if frac_solved < (int(percentile) / 100):
-                        R99 = np.inf
+        rows: dict[int, dict] = {}
+        for size, group in self._df.groupby("problem_size", sort=True):
+            size = int(size)
+            tau = metric_func(dataframe=group, problem_size=size)
+            cells: dict[tuple, float] = {}
+            for gap in self._gaps:
+                p = group[gap].to_numpy(dtype=float)
+                ever_solved = float((p > 0).mean())
+                quartile_means = sampler.calc_R99_quartile_means(
+                    p, self._batch_size, _QUARTILES
+                )
+                for q in _QUARTILES:
+                    if ever_solved < q / 100.0:
+                        cells[(gap, str(q))] = np.inf
                     else:
-                        R99_distribution = sampler.calc_R99_distribution(
-                            success_probabilities=success_prob,
-                            num_repeats=self.__batch_size,
-                        )
-                        R99 = np.mean(R99_distribution)
-                    plotting_df.at[problem_size, (percent_gap, percentile)] = (
-                        metric_value * R99
-                    )
+                        cells[(gap, str(q))] = tau * quartile_means[q]
+                cells[(gap, "success_prob")] = np.nan
+            rows[size] = cells
 
-        return plotting_df
+        table = pd.DataFrame.from_dict(rows, orient="index")
+        table = table.reindex(columns=self._columns())
+        table.index.name = "Problem Size (N)"
+        return table
 
     def generate_success_prob_plot_data(self) -> pd.DataFrame:
-        """Mean success probability vs problem size per gap."""
-        plotting_df = pd.DataFrame(
-            index=pd.Index(self.__problem_size_list, name="Problem Size (N)"),
-            columns=pd.MultiIndex.from_product(
-                [self.__percent_gap_list, self.__percentile_list],
-                names=["Optimality Type", "Percentile"],
-            ),
+        """Mean success probability per (size, gap)."""
+        means = self._df.groupby("problem_size", sort=True)[self._gaps].mean()
+        table = pd.DataFrame(
+            index=means.index.astype(int), columns=self._columns()
         )
-
-        for percent_gap in self.__percent_gap_list:
-            for problem_size in self.__problem_size_list:
-                matching_df = self.__df.loc[
-                    self.__df["problem_size"] == problem_size
-                ]
-                success_prob_list = matching_df[percent_gap].values
-                mean_success_prob = np.mean(
-                    np.array([float(s) for s in success_prob_list])
-                )
-                plotting_df.at[problem_size, (percent_gap, "success_prob")] = (
-                    mean_success_prob
-                )
-
-        return plotting_df
+        for gap in self._gaps:
+            table[(gap, "success_prob")] = means[gap].to_numpy(dtype=float)
+        table.index.name = "Problem Size (N)"
+        return table

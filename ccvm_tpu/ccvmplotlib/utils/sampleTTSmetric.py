@@ -126,6 +126,44 @@ class SampleTTSMetric(Metric):
 
         return R99_distribution
 
+    def calc_R99_quartile_means(
+        self, success_probabilities, num_repeats: int, percentiles=(25, 50, 75)
+    ) -> dict:
+        """Mean (over bootstraps) of several R99 percentiles from ONE set of
+        bootstrap draws.
+
+        Fully vectorized: all ``num_bootstraps`` resamples are drawn as one
+        (B, n) matrix, the Beta-posterior ppf is evaluated in one call, and
+        every requested percentile is read off the same R99 matrix — the
+        per-percentile statistic matches ``calc_R99_distribution`` exactly in
+        distribution (the reference re-runs the bootstrap loop per
+        percentile, which only changes which random draws are used).
+        """
+        p = numpy.asarray(success_probabilities, dtype=float)
+        n = len(p)
+        alphas = 0.5 + p * num_repeats
+        betas = 0.5 + (1 - p) * num_repeats
+
+        B = self.num_bootstraps
+        idx = self._rng.randint(0, n, (B, n))
+        cdf = self._rng.uniform(0, 1, (B, n))
+        sampled = beta_distribution.ppf(cdf, alphas[idx], betas[idx])
+        log_conf = numpy.log(1 - self.confidence)
+        with numpy.errstate(divide="ignore", invalid="ignore"):
+            r99 = numpy.where(
+                sampled >= 1.0,
+                1.0,
+                numpy.where(
+                    sampled <= 0.0, numpy.inf, log_conf / numpy.log(1 - sampled)
+                ),
+            )
+        r99 = numpy.maximum(r99, 1.0)
+        per_boot = numpy.percentile(r99, list(percentiles), axis=1)  # (P, B)
+        return {
+            pct: float(numpy.mean(per_boot[k]))
+            for k, pct in enumerate(percentiles)
+        }
+
     def calc_success_probabilities(self, results, best_known_energies):
         """Success probability for each problem."""
         probabilities = numpy.empty(len(results), dtype=float)
