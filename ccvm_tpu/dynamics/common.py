@@ -59,6 +59,33 @@ def adam_moment_update(grads, m, v, i, hp: AdamHyperparameters):
     return effective, m, v
 
 
+def dense_matvec(x, q_matrix):
+    """The hot-path contraction x @ Q for a (batch, n) state (the dominant
+    FLOPs of every dynamics family; reference ``dl_solver.py:529-537``)."""
+    return jnp.einsum("bi,ij->bj", x, q_matrix, preferred_element_type=x.dtype)
+
+
+def tp_matvec(axis_name: str = "model"):
+    """Tensor-parallel matvec for use under ``shard_map``.
+
+    ``x`` holds the local feature shard (batch_local, n_local); ``q_matrix``
+    holds the matching row block (n_local, n) of Q — rows shard the
+    contraction dimension, so each device computes a full-width partial sum
+    and a ``psum_scatter`` over the ICI returns the result to the feature
+    sharding.  This is the only per-step collective of a TP solve.
+    """
+
+    def matvec(x, q_rows):
+        partial = jnp.einsum(
+            "bi,ij->bj", x, q_rows, preferred_element_type=x.dtype
+        )
+        return lax.psum_scatter(
+            partial, axis_name, scatter_dimension=1, tiled=True
+        )
+
+    return matvec
+
+
 def normal(key, shape, dtype=jnp.float32):
     """Standard-normal Wiener draws.
 

@@ -58,15 +58,15 @@ def drift_saturation(p: DLParams, pump_is_gt_one: bool):
     return p.S
 
 
-def grads_boxqp(c, s, q_matrix, v_vector, lower_limit=0, upper_limit=1, S=1):
+def grads_boxqp(c, s, q_matrix, v_vector, lower_limit=0, upper_limit=1, S=1,
+                matvec=common.dense_matvec):
     """Feedback-only gradients (``dl_solver.py:174-217``)."""
     span = upper_limit - lower_limit
     mid = upper_limit + lower_limit
 
     def one(z):
         x = z * span / S + mid
-        qx = jnp.einsum("bi,ij->bj", x, q_matrix, preferred_element_type=z.dtype)
-        return 0.25 * qx * span / S
+        return 0.25 * matvec(x, q_matrix) * span / S
 
     g3 = v_vector * span / (2 * S)
     return -one(c) - g3, -one(s) - g3
@@ -74,7 +74,7 @@ def grads_boxqp(c, s, q_matrix, v_vector, lower_limit=0, upper_limit=1, S=1):
 
 def drift_boxqp(
     c, s, q_matrix, v_vector, pump, rate, feedback_scale=100,
-    lower_limit=0, upper_limit=1, S=1,
+    lower_limit=0, upper_limit=1, S=1, matvec=common.dense_matvec,
 ):
     """Full drift for both quadratures (``dl_solver.py:117-172``).
 
@@ -87,8 +87,7 @@ def drift_boxqp(
 
     def feedback(z):
         x = z * span / S + mid
-        qx = jnp.einsum("bi,ij->bj", x, q_matrix, preferred_element_type=z.dtype)
-        return 0.25 * qx * span / S
+        return 0.25 * matvec(x, q_matrix) * span / S
 
     g3 = v_vector * span / (2 * S)
     fs_dyn = feedback_scale * (0.5 + rate)
@@ -103,7 +102,8 @@ def noise_ratio_schedule(p: DLParams, i):
 
 
 def make_step(
-    q_matrix, v_vector, p: DLParams, pump_rate_flag: bool, pump_is_gt_one: bool
+    q_matrix, v_vector, p: DLParams, pump_rate_flag: bool, pump_is_gt_one: bool,
+    matvec=common.dense_matvec,
 ):
     sqrt_dt = jnp.sqrt(p.dt)
     s_drift_sat = drift_saturation(p, pump_is_gt_one)
@@ -114,7 +114,7 @@ def make_step(
         nr_i = noise_ratio_schedule(p, i)
         c_drift, s_drift = drift_boxqp(
             c, s, q_matrix, v_vector, p.pump, rate, p.feedback_scale,
-            p.lower_limit, p.upper_limit, s_drift_sat,
+            p.lower_limit, p.upper_limit, s_drift_sat, matvec,
         )
         kc, ks = jax.random.split(key)
         w_c = common.normal(kc, c.shape, c.dtype) * sqrt_dt * nr_i
@@ -134,6 +134,7 @@ def make_adam_step(
     pump_rate_flag: bool,
     pump_is_gt_one: bool,
     hp: AdamHyperparameters,
+    matvec=common.dense_matvec,
 ):
     """Adam variant (``dl_solver.py:571-769``): the feedback gradients are
     Adam-filtered; the pump drift uses pump_rate = pump*(i+1)/T."""
@@ -148,7 +149,8 @@ def make_adam_step(
         )
         nr_i = noise_ratio_schedule(p, i)
         c_grads, s_grads = grads_boxqp(
-            c, s, q_matrix, v_vector, p.lower_limit, p.upper_limit, s_grad_sat
+            c, s, q_matrix, v_vector, p.lower_limit, p.upper_limit, s_grad_sat,
+            matvec,
         )
         c_grads, m_c, v_c = common.adam_moment_update(c_grads, m_c, v_c, i, hp)
         s_grads, m_s, v_s = common.adam_moment_update(s_grads, m_s, v_s, i, hp)

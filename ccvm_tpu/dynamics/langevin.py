@@ -34,20 +34,27 @@ class LangevinParams(NamedTuple):
     upper_limit: jax.Array
 
 
-def drift_boxqp(c, q_matrix, v_vector, lower_limit=0, upper_limit=1, S=1):
-    """Langevin drift (identical to grads, ``langevin_solver.py:117-166``)."""
+def drift_boxqp(c, q_matrix, v_vector, lower_limit=0, upper_limit=1, S=1,
+                matvec=common.dense_matvec):
+    """Langevin drift (identical to grads, ``langevin_solver.py:117-166``).
+
+    ``matvec`` selects the x @ Q implementation — dense by default,
+    :func:`common.tp_matvec` for a model-sharded solve under ``shard_map``.
+    """
     scale = (upper_limit - lower_limit) / (2 * S)
     x = c * scale + (upper_limit + lower_limit) / 2
-    qx = jnp.einsum("bi,ij->bj", x, q_matrix, preferred_element_type=c.dtype)
+    qx = matvec(x, q_matrix)
     return -(qx + v_vector) * scale
 
 
-def make_step(q_matrix, v_vector, p: LangevinParams):
+def make_step(q_matrix, v_vector, p: LangevinParams,
+              matvec=common.dense_matvec):
     """Original-dynamics step function."""
     sqrt_dt = jnp.sqrt(p.dt)
 
     def step(c, i, key):
-        d = drift_boxqp(c, q_matrix, v_vector, p.lower_limit, p.upper_limit, p.S)
+        d = drift_boxqp(c, q_matrix, v_vector, p.lower_limit, p.upper_limit,
+                        p.S, matvec)
         w = common.normal(key, c.shape, c.dtype) * sqrt_dt
         c = c + p.dt * p.feedback_scale * d + p.sigma * w
         return jnp.clip(c, -p.S, p.S)
@@ -55,13 +62,15 @@ def make_step(q_matrix, v_vector, p: LangevinParams):
     return step
 
 
-def make_adam_step(q_matrix, v_vector, p: LangevinParams, hp: AdamHyperparameters):
+def make_adam_step(q_matrix, v_vector, p: LangevinParams, hp: AdamHyperparameters,
+                   matvec=common.dense_matvec):
     """Adam-filtered step; carry is (c, m, v) (``langevin_solver.py:437-561``)."""
     sqrt_dt = jnp.sqrt(p.dt)
 
     def step(state, i, key):
         c, m, v = state
-        grads = drift_boxqp(c, q_matrix, v_vector, p.lower_limit, p.upper_limit, p.S)
+        grads = drift_boxqp(c, q_matrix, v_vector, p.lower_limit, p.upper_limit,
+                            p.S, matvec)
         grads, m, v = common.adam_moment_update(grads, m, v, i, hp)
         w = common.normal(key, c.shape, c.dtype) * sqrt_dt
         c = c + p.dt * p.feedback_scale * grads + p.sigma * w

@@ -47,12 +47,13 @@ class MFParams(NamedTuple):
     iterations: jax.Array
 
 
-def feedback_terms(mu_tilde_c, q_matrix, v_vector, S, lower_limit, upper_limit):
+def feedback_terms(mu_tilde_c, q_matrix, v_vector, S, lower_limit, upper_limit,
+                   matvec=common.dense_matvec):
     """fs-independent feedback terms (``mf_solver.py:176-189``)."""
     span = upper_limit - lower_limit
     mid = upper_limit + lower_limit
     x = mu_tilde_c * span / S + mid
-    qx = jnp.einsum("bi,ij->bj", x, q_matrix, preferred_element_type=x.dtype)
+    qx = matvec(x, q_matrix)
     term2_1 = -0.25 * qx * span / S
     term2_2 = -v_vector * span / (2 * S)
     return term2_1 + term2_2
@@ -60,13 +61,14 @@ def feedback_terms(mu_tilde_c, q_matrix, v_vector, S, lower_limit, upper_limit):
 
 def drift_boxqp(
     mu, mu_tilde, sigma, pump, j, g, S, fs, q_matrix, v_vector,
-    lower_limit=0, upper_limit=1,
+    lower_limit=0, upper_limit=1, matvec=common.dense_matvec,
 ):
     """Drift of mu and sigma (``mf_solver.py:141-198``). ``pump`` here is the
     instantaneous pump."""
     mu_pow = jnp.square(mu)
     mu_term1 = (-(1 + j) + pump - g**2 * mu_pow) * mu
-    fb = feedback_terms(mu_tilde, q_matrix, v_vector, S, lower_limit, upper_limit)
+    fb = feedback_terms(mu_tilde, q_matrix, v_vector, S, lower_limit,
+                        upper_limit, matvec)
     sigma_term1 = 2 * (-(1 + j) + pump - 3 * g**2 * mu_pow) * sigma
     sigma_term2 = -2 * j * jnp.square(sigma - 0.5)
     sigma_term3 = (1 + j) + 2 * g**2 * mu_pow
@@ -75,10 +77,11 @@ def drift_boxqp(
     return drift_mu, drift_sigma
 
 
-def grads_boxqp(mu_tilde, S, fs, q_matrix, v_vector, lower_limit=0, upper_limit=1):
+def grads_boxqp(mu_tilde, S, fs, q_matrix, v_vector, lower_limit=0,
+                upper_limit=1, matvec=common.dense_matvec):
     """Feedback-only gradient for the Adam path (``mf_solver.py:200-233``)."""
     return fs * feedback_terms(
-        mu_tilde, q_matrix, v_vector, S, lower_limit, upper_limit
+        mu_tilde, q_matrix, v_vector, S, lower_limit, upper_limit, matvec
     )
 
 
@@ -87,7 +90,8 @@ def measurement_strength(p: MFParams, i):
     return p.j * jnp.exp(-(i + 1.0) / p.iterations * 3.0)
 
 
-def make_step(q_matrix, v_vector, p: MFParams, pump_rate_flag: bool):
+def make_step(q_matrix, v_vector, p: MFParams, pump_rate_flag: bool,
+              matvec=common.dense_matvec):
     sqrt_dt = jnp.sqrt(p.dt)
 
     def step(state, i, key):
@@ -101,7 +105,7 @@ def make_step(q_matrix, v_vector, p: MFParams, pump_rate_flag: bool):
         pump_inst = p.pump * rate + 1.0 + j_i
         drift_mu, drift_sigma = drift_boxqp(
             mu, mu_tilde_c, sigma, pump_inst, j_i, p.g, p.S, p.feedback_scale,
-            q_matrix, v_vector, p.lower_limit, p.upper_limit,
+            q_matrix, v_vector, p.lower_limit, p.upper_limit, matvec,
         )
         mu_diffusion = jnp.sqrt(j_i) * (sigma - 0.5) * w_inc
         mu = mu + p.dt * (drift_mu + mu_diffusion)
@@ -112,7 +116,8 @@ def make_step(q_matrix, v_vector, p: MFParams, pump_rate_flag: bool):
 
 
 def make_adam_step(
-    q_matrix, v_vector, p: MFParams, pump_rate_flag: bool, hp: AdamHyperparameters
+    q_matrix, v_vector, p: MFParams, pump_rate_flag: bool, hp: AdamHyperparameters,
+    matvec=common.dense_matvec,
 ):
     """Adam variant (``mf_solver.py:595-764``)."""
     sqrt_dt = jnp.sqrt(p.dt)
@@ -128,7 +133,7 @@ def make_adam_step(
         pump_inst = p.pump * rate + 1.0 + j_i
         grads_mu = grads_boxqp(
             mu_tilde_c, p.S, p.feedback_scale, q_matrix, v_vector,
-            p.lower_limit, p.upper_limit,
+            p.lower_limit, p.upper_limit, matvec,
         )
         grads_mu, m_mu, v_mu = common.adam_moment_update(grads_mu, m_mu, v_mu, i, hp)
         mu_pow = jnp.square(mu)

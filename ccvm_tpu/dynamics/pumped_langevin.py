@@ -32,11 +32,12 @@ class PumpedLangevinParams(NamedTuple):
     iterations: jax.Array  # total T, used by the pump schedule
 
 
-def grads_boxqp(c, q_matrix, v_vector, lower_limit=0, upper_limit=1, S=1):
+def grads_boxqp(c, q_matrix, v_vector, lower_limit=0, upper_limit=1, S=1,
+                matvec=common.dense_matvec):
     """Feedback gradient (``pumped_langevin_solver.py:118-147``)."""
     scale = (upper_limit - lower_limit) / (2 * S)
     x = c * scale + (upper_limit + lower_limit) / 2
-    qx = jnp.einsum("bi,ij->bj", x, q_matrix, preferred_element_type=c.dtype)
+    qx = matvec(x, q_matrix)
     return -qx * scale - v_vector * scale
 
 
@@ -48,11 +49,13 @@ def pump_field(p: PumpedLangevinParams, i, pump_rate_flag: bool):
     return p.pump
 
 
-def make_step(q_matrix, v_vector, p: PumpedLangevinParams, pump_rate_flag: bool):
+def make_step(q_matrix, v_vector, p: PumpedLangevinParams, pump_rate_flag: bool,
+              matvec=common.dense_matvec):
     sqrt_dt = jnp.sqrt(p.dt)
 
     def step(c, i, key):
-        g = grads_boxqp(c, q_matrix, v_vector, p.lower_limit, p.upper_limit, p.S)
+        g = grads_boxqp(c, q_matrix, v_vector, p.lower_limit, p.upper_limit,
+                        p.S, matvec)
         pump_i = pump_field(p, i, pump_rate_flag)
         drift = (-1.0 + pump_i - jnp.square(c)) * c + p.feedback_scale * g
         w = common.normal(key, c.shape, c.dtype) * sqrt_dt
@@ -68,6 +71,7 @@ def make_adam_step(
     p: PumpedLangevinParams,
     pump_rate_flag: bool,
     hp: AdamHyperparameters,
+    matvec=common.dense_matvec,
 ):
     """Adam variant (``pumped_langevin_solver.py:311-449``): only the feedback
     gradient goes through Adam; the pump drift stays physical."""
@@ -75,7 +79,8 @@ def make_adam_step(
 
     def step(state, i, key):
         c, m, v = state
-        g = grads_boxqp(c, q_matrix, v_vector, p.lower_limit, p.upper_limit, p.S)
+        g = grads_boxqp(c, q_matrix, v_vector, p.lower_limit, p.upper_limit,
+                        p.S, matvec)
         g, m, v = common.adam_moment_update(g, m, v, i, hp)
         pump_i = pump_field(p, i, pump_rate_flag)
         c_pump = (-1.0 + pump_i - jnp.square(c)) * c

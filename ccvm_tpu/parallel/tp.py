@@ -1,18 +1,24 @@
-"""Tensor + data parallel CCVM solve via shard_map with explicit collectives.
+"""Tensor + data parallel CCVM solves via shard_map with explicit collectives.
 
 For problem sizes far beyond the bundled N<=70 set, the (batch, N) state and
 the (N, N) coupling matrix both shard over a 2-D ("batch", "model") mesh:
 
-* state c/s: P("batch", "model")  — trajectories over DP, features over TP
-* Q:         P("model", None)    — rows over TP (the contraction dim)
-* V:         P("model")          — features over TP
+* state (c / s / mu / sigma / Adam moments): P("batch", "model")
+* Q:  P("model", None) — rows over TP (the contraction dimension)
+* V:  P("model")       — features over TP
 
-The per-step matvec computes local partials ``x_local @ q_local`` and
+Each per-step matvec computes local partials ``x_local @ q_rows`` and
 reduce-scatters them back to the feature sharding over the ICI
-(``psum_scatter`` over "model"); the only other collectives are the tiny
-energy/best-objective reductions at the end (``psum`` over "model",
-``pmin`` over "batch").  This is the TPU-native answer to what the
-reference could never do at all (strictly single device).
+(:func:`ccvm_tpu.dynamics.common.tp_matvec`); the readout energy reduction
+is the only other collective.  This generalizes to **all four** dynamics
+families because the engine reuses each family's ``make_step`` /
+``make_adam_step`` with the pluggable matvec — no dynamics are re-derived
+here.  (The reference is strictly single-device; this subsystem has no
+counterpart there — SURVEY.md §2.7.)
+
+Per-shard RNG: the solve key is folded with both mesh coordinates, so every
+device integrates decorrelated trajectories; results match a single-device
+run statistically (never bitwise), exactly like growing the batch.
 """
 
 from __future__ import annotations
@@ -26,6 +32,11 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+from ccvm_tpu.dynamics import common
+from ccvm_tpu.dynamics import dl as dyn_dl
+from ccvm_tpu.dynamics import langevin as dyn_langevin
+from ccvm_tpu.dynamics import mf as dyn_mf
+from ccvm_tpu.dynamics import pumped_langevin as dyn_pumped
 from ccvm_tpu.dynamics.dl import DLParams
 
 # jax renamed shard_map's replication-check kwarg (check_rep -> check_vma in
@@ -53,111 +64,257 @@ def _shard_map(fn, **kwargs):
         return shard_map(fn, **kwargs, check_rep=False)
 
 
-def _tp_matvec(x_local, q_local):
-    """Row-sharded matvec with reduce-scatter back to feature sharding.
+def _check_divisibility(mesh, batch_size, n):
+    dp = mesh.shape["batch"]
+    tp = mesh.shape["model"]
+    if batch_size % dp != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must divide over the batch axis ({dp})"
+        )
+    if n % tp != 0:
+        raise ValueError(
+            f"problem size {n} must divide over the model axis ({tp})"
+        )
+    return batch_size // dp, n // tp
 
-    x_local: (b_local, n_local) slice of x along features
-    q_local: (n_local, n) slice of Q along rows (contraction dim)
-    returns: (b_local, n_local) slice of x @ Q along output features
+
+def _make_engine(mesh, *, iterations, batch_size, n, build_step, build_init,
+                 readout):
+    """Build the jitted shard-mapped solve shared by every family.
+
+    ``build_step(q_rows, v_local, matvec) -> step``: family step closure.
+    ``build_init(b_local, n_local) -> state``: local scan carry.
+    ``readout(state, ...) -> pytree``: applied to the (still sharded) final
+    state outside the shard_map region.
     """
-    partial = jnp.einsum(
-        "bi,ij->bj", x_local, q_local, preferred_element_type=x_local.dtype
-    )
-    return lax.psum_scatter(partial, "model", scatter_dimension=1, tiled=True)
+    b_local, n_local = _check_divisibility(mesh, batch_size, n)
 
-
-def make_dl_sharded_solve(mesh, *, iterations: int, pump_rate_flag: bool = True,
-                          pump_is_gt_one: bool = True):
-    """Build a jitted, fully sharded DL-CCVM solve over a (batch, model) mesh.
-
-    Returns ``solve(key, q, v, params, c0, s0) -> (c, s, objval, best)`` where
-    c0/s0 are (batch, n) and may be passed unsharded (jit resolves the
-    shardings from the shard_map specs).
-    """
-
-    def body(key, q_local, v_local, params: DLParams, c, s):
-        # Decorrelate noise across both mesh axes.
+    def body(key, q_rows, v_local, params):
         key = jax.random.fold_in(key, lax.axis_index("batch"))
         key = jax.random.fold_in(key, lax.axis_index("model"))
+        step = build_step(q_rows, v_local, common.tp_matvec("model"))
+        state = build_init(b_local, n_local)
+        return common.scan_steps(step, state, key, iterations)
 
-        span = params.upper_limit - params.lower_limit
-        mid = params.upper_limit + params.lower_limit
-        S_d = jnp.sqrt(params.pump - 1.0) if pump_is_gt_one else params.S
-        sqrt_dt = jnp.sqrt(params.dt)
-
-        def step(state, i):
-            c, s = state
-            rate = (
-                (i + 1.0) / params.iterations if pump_rate_flag else jnp.float32(1.0)
-            )
-            nr_i = (params.noise_ratio - 1.0) * jnp.exp(
-                -(i + 1.0) / params.iterations * 3.0
-            ) + 1.0
-            c_pow = jnp.square(c)
-            s_pow = jnp.square(s)
-            qx_c = _tp_matvec(c * span / S_d + mid, q_local)
-            qx_s = _tp_matvec(s * span / S_d + mid, q_local)
-            g3 = v_local * span / (2 * S_d)
-            fs_dyn = params.feedback_scale * (0.5 + rate)
-            c_drift = (
-                -fs_dyn * (0.25 * qx_c * span / S_d + g3)
-                + (-1 + params.pump * rate - c_pow - s_pow) * c
-            )
-            s_drift = (
-                -fs_dyn * (0.25 * qx_s * span / S_d + g3)
-                + (-1 - params.pump * rate - c_pow - s_pow) * s
-            )
-            k = jax.random.fold_in(key, i)
-            kc, ks = jax.random.split(k)
-            w_c = jax.random.normal(kc, c.shape, c.dtype) * sqrt_dt * nr_i
-            w_s = jax.random.normal(ks, s.shape, s.dtype) * sqrt_dt / nr_i
-            diff = 2.0 * params.g * jnp.sqrt(c_pow + s_pow + 0.5)
-            return (c + params.dt * c_drift + diff * w_c,
-                    s + params.dt * s_drift + diff * w_s), None
-
-        (c, s), _ = lax.scan(step, (c, s), jnp.arange(iterations))
-        c = jnp.clip(c, -params.S, params.S)
-
-        # Objective on the changed variables (cross-feature psum, tiny)
-        x = 0.5 * c / params.S * span + 0.5 * mid
-        qx = jnp.einsum("bi,ij->bj", x, q_local, preferred_element_type=x.dtype)
-        qx = lax.psum_scatter(qx, "model", scatter_dimension=1, tiled=True)
-        e1 = lax.psum(jnp.sum(x * qx, axis=-1), "model")
-        e2 = lax.psum(x @ v_local, "model")
-        objval = 0.5 * e1 + e2
-        best = lax.pmin(jnp.min(objval), "batch")
-        return c, s, objval, -best
-
+    state_proto = jax.eval_shape(lambda: build_init(b_local, n_local))
+    out_specs = jax.tree_util.tree_map(
+        lambda _: P("batch", "model"), state_proto
+    )
     sharded = _shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            P(),                 # key (replicated)
-            P("model", None),    # Q rows over TP
-            P("model"),          # V features over TP
-            P(),                 # params (replicated scalars)
-            P("batch", "model"),  # c
-            P("batch", "model"),  # s
-        ),
-        out_specs=(
-            P("batch", "model"),  # c
-            P("batch", "model"),  # s
-            P("batch"),           # objective values
-            P(),                  # best objective (replicated scalar)
-        ),
+        in_specs=(P(), P("model", None), P("model"), P()),
+        out_specs=out_specs,
     )
-    return jax.jit(sharded)
+
+    def solve(key, q, v, params):
+        return readout(sharded(key, q, v, params))
+
+    return jax.jit(solve)
+
+
+def _zeros(b, nl):
+    return jnp.zeros((b, nl), jnp.float32)
+
+
+def _require_scalar_s(params):
+    import numpy as np
+
+    if np.ndim(params.S) != 0:
+        raise ValueError(
+            "tensor-parallel solves require a scalar S (a per-variable S "
+            "would need feature sharding of the clamp bounds; use the DP/lax "
+            "path instead)"
+        )
+
+
+def _replicate_inputs(mesh, key, q, v, params):
+    """Replicate solve inputs over the mesh: arrays committed to a single
+    device (e.g. a ProblemInstance loaded before the mesh existed) would
+    otherwise conflict with the mesh-spanning shard_map computation."""
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    return jax.device_put((key, q, v, params), rep)
+
+
+# --------------------------------------------------------------------------
+# Family entry points — signatures and return values mirror each
+# ``ccvm_tpu.dynamics.<family>.solve`` so the façades can swap them in.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _langevin_engine(mesh, n, iterations, batch_size, hp):
+    def engine(key, q, v, params):
+        def body_step(q_rows, v_local, mv):
+            if hp is None:
+                return dyn_langevin.make_step(q_rows, v_local, params, mv)
+            return dyn_langevin.make_adam_step(q_rows, v_local, params, hp, mv)
+
+        init = (
+            (lambda b, nl: _zeros(b, nl)) if hp is None
+            else (lambda b, nl: (_zeros(b, nl), _zeros(b, nl), _zeros(b, nl)))
+        )
+        read = (lambda st: st) if hp is None else (lambda st: st[0])
+        return _make_engine(
+            mesh, iterations=iterations, batch_size=batch_size, n=n,
+            build_step=body_step, build_init=init, readout=read,
+        )(key, q, v, params)
+
+    return jax.jit(engine)
+
+
+def langevin_solve(mesh, key, q, v, params, *, iterations, batch_size, hp=None):
+    """Mesh-sharded Langevin solve; same contract as dynamics.langevin.solve."""
+    _require_scalar_s(params)
+    key, q, v, params = _replicate_inputs(mesh, key, q, v, params)
+    return _langevin_engine(mesh, q.shape[0], iterations, batch_size, hp)(
+        key, q, v, params
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _pumped_engine(mesh, n, iterations, batch_size, pump_rate_flag, hp):
+    def engine(key, q, v, params):
+        def body_step(q_rows, v_local, mv):
+            if hp is None:
+                return dyn_pumped.make_step(
+                    q_rows, v_local, params, pump_rate_flag, mv
+                )
+            return dyn_pumped.make_adam_step(
+                q_rows, v_local, params, pump_rate_flag, hp, mv
+            )
+
+        init = (
+            (lambda b, nl: _zeros(b, nl)) if hp is None
+            else (lambda b, nl: (_zeros(b, nl), _zeros(b, nl), _zeros(b, nl)))
+        )
+        read = (lambda st: st) if hp is None else (lambda st: st[0])
+        return _make_engine(
+            mesh, iterations=iterations, batch_size=batch_size, n=n,
+            build_step=body_step, build_init=init, readout=read,
+        )(key, q, v, params)
+
+    return jax.jit(engine)
+
+
+def pumped_langevin_solve(mesh, key, q, v, params, *, iterations, batch_size,
+                          pump_rate_flag=True, hp=None):
+    """Mesh-sharded pumped-Langevin solve (contract of dynamics.pumped.solve)."""
+    _require_scalar_s(params)
+    key, q, v, params = _replicate_inputs(mesh, key, q, v, params)
+    return _pumped_engine(
+        mesh, q.shape[0], iterations, batch_size, pump_rate_flag, hp
+    )(key, q, v, params)
+
+
+@functools.lru_cache(maxsize=64)
+def _dl_engine(mesh, n, iterations, batch_size, pump_rate_flag,
+               pump_is_gt_one, hp):
+    def engine(key, q, v, params):
+        def body_step(q_rows, v_local, mv):
+            if hp is None:
+                return dyn_dl.make_step(
+                    q_rows, v_local, params, pump_rate_flag, pump_is_gt_one, mv
+                )
+            return dyn_dl.make_adam_step(
+                q_rows, v_local, params, pump_rate_flag, pump_is_gt_one, hp, mv
+            )
+
+        if hp is None:
+            init = lambda b, nl: (_zeros(b, nl), _zeros(b, nl))  # noqa: E731
+        else:
+            init = lambda b, nl: tuple(_zeros(b, nl) for _ in range(6))  # noqa: E731
+
+        def read(state):
+            c, s = state[0], state[1]
+            return jnp.clip(c, -params.S, params.S), s
+
+        return _make_engine(
+            mesh, iterations=iterations, batch_size=batch_size, n=n,
+            build_step=body_step, build_init=init, readout=read,
+        )(key, q, v, params)
+
+    return jax.jit(engine)
+
+
+def dl_solve(mesh, key, q, v, params, *, iterations, batch_size,
+             pump_rate_flag=True, pump_is_gt_one=False, hp=None):
+    """Mesh-sharded DL-CCVM solve -> (c, s), c clamped (dynamics.dl.solve)."""
+    _require_scalar_s(params)
+    key, q, v, params = _replicate_inputs(mesh, key, q, v, params)
+    return _dl_engine(
+        mesh, q.shape[0], iterations, batch_size, pump_rate_flag,
+        pump_is_gt_one, hp,
+    )(key, q, v, params)
+
+
+@functools.lru_cache(maxsize=64)
+def _mf_engine(mesh, n, iterations, batch_size, pump_rate_flag, hp):
+    def engine(key, q, v, params):
+        def body_step(q_rows, v_local, mv):
+            if hp is None:
+                return dyn_mf.make_step(
+                    q_rows, v_local, params, pump_rate_flag, mv
+                )
+            return dyn_mf.make_adam_step(
+                q_rows, v_local, params, pump_rate_flag, hp, mv
+            )
+
+        def init(b, nl):
+            mu0 = _zeros(b, nl)
+            sigma0 = jnp.full_like(mu0, 0.5)
+            if hp is None:
+                return (mu0, sigma0, _zeros(b, nl))
+            return (mu0, sigma0, _zeros(b, nl), _zeros(b, nl), _zeros(b, nl))
+
+        def read(state):
+            mu, sigma, mu_tilde = state[0], state[1], state[2]
+            return mu, jnp.clip(mu_tilde, -params.S, params.S), sigma
+
+        return _make_engine(
+            mesh, iterations=iterations, batch_size=batch_size, n=n,
+            build_step=body_step, build_init=init, readout=read,
+        )(key, q, v, params)
+
+    return jax.jit(engine)
+
+
+def mf_solve(mesh, key, q, v, params, *, iterations, batch_size,
+             pump_rate_flag=True, hp=None):
+    """Mesh-sharded MF-CCVM solve -> (mu, mu_tilde_clamped, sigma)."""
+    _require_scalar_s(params)
+    key, q, v, params = _replicate_inputs(mesh, key, q, v, params)
+    return _mf_engine(
+        mesh, q.shape[0], iterations, batch_size, pump_rate_flag, hp
+    )(key, q, v, params)
+
+
+# --------------------------------------------------------------------------
+# DL convenience wrapper kept for the driver entry point / sharding tests:
+# returns (c, s, objective values, best objective) like round 1's API.
+# --------------------------------------------------------------------------
 
 
 def dl_sharded_solve(mesh, key, q, v, params: DLParams, batch_size: int,
                      *, iterations: int, pump_rate_flag: bool = True):
-    """Convenience wrapper: zero-init state, run the sharded solve."""
-    n = q.shape[0]
-    c0 = jnp.zeros((batch_size, n), q.dtype)
-    s0 = jnp.zeros((batch_size, n), q.dtype)
+    """Sharded DL solve + readout energy: (c, s, objval, best)."""
     pump_gt_one = bool(float(params.pump) > 1)
-    solve = make_dl_sharded_solve(
-        mesh, iterations=iterations, pump_rate_flag=pump_rate_flag,
+
+    @jax.jit
+    def readout(c, s, q, v, params):
+        span = params.upper_limit - params.lower_limit
+        mid = params.upper_limit + params.lower_limit
+        x = 0.5 * c / params.S * span + 0.5 * mid
+        qx = jnp.einsum("bi,ij->bj", x, q, preferred_element_type=x.dtype)
+        objval = 0.5 * jnp.sum(x * qx, axis=-1) + x @ v
+        return objval, -jnp.min(objval)
+
+    c, s = dl_solve(
+        mesh, key, q, v, params, iterations=iterations,
+        batch_size=batch_size, pump_rate_flag=pump_rate_flag,
         pump_is_gt_one=pump_gt_one,
     )
-    return solve(key, q, v, params, c0, s0)
+    objval, best = readout(c, s, q, v, params)
+    return c, s, objval, best

@@ -9,6 +9,7 @@ and ccvm_tpu.ops).
 
 from __future__ import annotations
 
+import logging
 from abc import ABC, abstractmethod
 
 import numpy as np
@@ -16,6 +17,8 @@ from pandas import DataFrame
 
 from ccvm_tpu.dynamics import common
 from ccvm_tpu.runtime import DeviceType, validate_device  # noqa: F401
+
+logger = logging.getLogger(__name__)
 
 
 class MachineType:
@@ -290,6 +293,48 @@ class CCVMSolver(ABC):
     ##############################
     ### Shared TPU-side helpers ###
     ##############################
+
+    def _use_pallas(self, evolution_step_size, S, hp=None, hp_in_kernel=False):
+        """Whether this solve runs the fused whole-solve Pallas kernel.
+
+        One shared decision for all four façades.  When the user explicitly
+        requested ``backend="pallas"`` but a feature forces the scanned lax
+        path, the fallback is logged instead of silently degrading
+        (``backend="auto"`` falls back quietly by design).
+        """
+        reasons = []
+        if evolution_step_size:
+            reasons.append("evolution sampling runs the scanned lax path")
+        if np.ndim(S) != 0:
+            reasons.append("per-variable S runs the lax path")
+        if hp is not None and not hp_in_kernel:
+            reasons.append(
+                "Adam-in-loop runs the lax path for this solver"
+            )
+        if self.mesh is not None:
+            reasons.append("mesh-sharded solves run the shard_map/lax path")
+        if self.backend == "pallas":
+            if reasons:
+                logger.warning(
+                    "pallas backend requested but falling back to lax: %s",
+                    "; ".join(reasons),
+                )
+                return False
+            return True
+        if self.backend == "auto":
+            import jax
+
+            return not reasons and jax.default_backend() == "tpu"
+        return False
+
+    def _tp_mesh(self):
+        """The mesh when it carries a nontrivial "model" (tensor-parallel)
+        axis, else None.  Facades route such solves through
+        :mod:`ccvm_tpu.parallel.tp` (Q rows sharded over ICI)."""
+        m = self.mesh
+        if m is not None and "model" in m.axis_names and m.shape["model"] > 1:
+            return m
+        return None
 
     def _batch_sharding(self):
         """NamedSharding that splits the trajectory batch over the mesh's

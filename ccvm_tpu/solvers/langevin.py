@@ -221,22 +221,11 @@ class LangevinSolver(CCVMSolver):
             upper_limit=np.float32(hi),
         )
 
-    def _use_pallas(self, evolution_step_size, S):
-        if evolution_step_size:
-            return False
-        if np.ndim(S) != 0:
-            return False
-        if self.backend == "pallas":
-            return True
-        if self.backend == "auto":
-            return jax.default_backend() == "tpu" and self.mesh is None
-        return False
-
     def _solve(self, key, params, iterations, evolution_step_size, hp=None):
-        """Run the scanned (or fused-kernel) solve; optionally record
-        evolution samples segment by segment."""
+        """Run the scanned (or fused-kernel, or mesh-sharded) solve;
+        optionally record evolution samples segment by segment."""
         if not evolution_step_size:
-            if hp is None and self._use_pallas(evolution_step_size, params.S):
+            if self._use_pallas(evolution_step_size, params.S, hp):
                 from ccvm_tpu.ops import kernels
 
                 c = kernels.langevin_solve(
@@ -246,6 +235,14 @@ class LangevinSolver(CCVMSolver):
                 )
                 if c is not None:
                     return c
+            tp_mesh = self._tp_mesh()
+            if tp_mesh is not None:
+                from ccvm_tpu.parallel import tp
+
+                return tp.langevin_solve(
+                    tp_mesh, key, self.q_matrix, self.v_vector, params,
+                    iterations=iterations, batch_size=self.batch_size, hp=hp,
+                )
             key, q, v, params = self._replicate_for_mesh(
                 key, self.q_matrix, self.v_vector, params
             )

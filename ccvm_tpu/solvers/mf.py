@@ -250,18 +250,11 @@ class MFSolver(CCVMSolver):
             iterations=np.float32(iterations),
         )
 
-    def _use_pallas(self, evolution_step_size, S):
-        if evolution_step_size or np.ndim(S) != 0:
-            return False
-        if self.backend == "pallas":
-            return True
-        return self.backend == "auto" and jax.default_backend() == "tpu" and self.mesh is None
-
     def _solve(
         self, key, params, iterations, pump_rate_flag, evolution_step_size, hp=None
     ):
         if not evolution_step_size:
-            if hp is None and self._use_pallas(evolution_step_size, params.S):
+            if self._use_pallas(evolution_step_size, params.S, hp):
                 from ccvm_tpu.ops import kernels
 
                 out = kernels.mf_solve(
@@ -271,6 +264,15 @@ class MFSolver(CCVMSolver):
                 )
                 if out is not None:
                     return out
+            tp_mesh = self._tp_mesh()
+            if tp_mesh is not None:
+                from ccvm_tpu.parallel import tp
+
+                return tp.mf_solve(
+                    tp_mesh, key, self.q_matrix, self.v_vector, params,
+                    iterations=iterations, batch_size=self.batch_size,
+                    pump_rate_flag=pump_rate_flag, hp=hp,
+                )
             key, q, v, params = self._replicate_for_mesh(
                 key, self.q_matrix, self.v_vector, params
             )

@@ -103,3 +103,140 @@ def test_mf_sharded_matches_single_device(mesh):
         rtol=1e-4,
         atol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic tensor-parallel engine (parallel/tp.py): every dynamics family must
+# run on a 2-D (batch x model) mesh.  With the noise turned off the dynamics
+# are deterministic, so TP must agree with the single-device solve to float
+# tolerance (the TP matvec only reorders partial sums); MF has irreducible
+# measurement noise, so it is checked distributionally.
+# ---------------------------------------------------------------------------
+
+
+def _rand_problem(n=16, seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    off = rng.normal(0, 28.7 / np.sqrt(n), (n, n))
+    q = np.triu(off, 1)
+    q = q + q.T
+    np.fill_diagonal(q, rng.normal(0, 57.4 / np.sqrt(n), n))
+    v = rng.normal(0, 21, n)
+    return jnp.asarray(q, jnp.float32), jnp.asarray(v, jnp.float32)
+
+
+def _mesh2d():
+    from ccvm_tpu.parallel import make_mesh
+
+    return make_mesh(8, tp=2)
+
+
+def test_langevin_tp_noise_free_matches_single_device():
+    import jax.numpy as jnp
+
+    from ccvm_tpu.dynamics import langevin as dyn
+    from ccvm_tpu.dynamics.langevin import LangevinParams
+    from ccvm_tpu.parallel import langevin_solve
+
+    q, v = _rand_problem()
+    p = LangevinParams(
+        S=np.float32(0.5), dt=np.float32(0.002), sigma=np.float32(0.0),
+        feedback_scale=np.float32(1.0), lower_limit=np.float32(0),
+        upper_limit=np.float32(1),
+    )
+    key = jax.random.PRNGKey(1)
+    c_tp = langevin_solve(_mesh2d(), key, q, v, p, iterations=150, batch_size=32)
+    c_sd = dyn.solve(key, q, v, p, iterations=150, batch_size=32)
+    np.testing.assert_allclose(np.asarray(c_tp), np.asarray(c_sd),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pumped_tp_noise_free_matches_single_device():
+    from ccvm_tpu.dynamics import pumped_langevin as dyn
+    from ccvm_tpu.dynamics.pumped_langevin import PumpedLangevinParams
+    from ccvm_tpu.parallel import pumped_langevin_solve
+
+    q, v = _rand_problem(seed=1)
+    p = PumpedLangevinParams(
+        pump=np.float32(2.0), S=np.float32(0.5), dt=np.float32(0.002),
+        sigma=np.float32(0.0), feedback_scale=np.float32(1.0),
+        lower_limit=np.float32(0), upper_limit=np.float32(1),
+        iterations=np.float32(150),
+    )
+    key = jax.random.PRNGKey(2)
+    c_tp = pumped_langevin_solve(
+        _mesh2d(), key, q, v, p, iterations=150, batch_size=32
+    )
+    c_sd = dyn.solve(key, q, v, p, iterations=150, batch_size=32)
+    np.testing.assert_allclose(np.asarray(c_tp), np.asarray(c_sd),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dl_tp_noise_free_matches_single_device():
+    import jax.numpy as jnp
+
+    from ccvm_tpu.dynamics import dl as dyn
+    from ccvm_tpu.dynamics.dl import DLParams
+    from ccvm_tpu.parallel import dl_solve
+
+    q, v = _rand_problem(seed=2)
+    p = DLParams(
+        pump=np.float32(8.0), S=jnp.sqrt(jnp.float32(7.0)),
+        dt=np.float32(0.001), noise_ratio=np.float32(10),
+        feedback_scale=np.float32(100), g=np.float32(0.0),  # noise off
+        lower_limit=np.float32(0), upper_limit=np.float32(1),
+        iterations=np.float32(150),
+    )
+    key = jax.random.PRNGKey(3)
+    c_tp, s_tp = dl_solve(
+        _mesh2d(), key, q, v, p, iterations=150, batch_size=32,
+        pump_is_gt_one=True,
+    )
+    c_sd, s_sd = dyn.solve(
+        key, q, v, p, iterations=150, batch_size=32, pump_is_gt_one=True
+    )
+    np.testing.assert_allclose(np.asarray(c_tp), np.asarray(c_sd),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_tp), np.asarray(s_sd),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mf_tp_statistics_match_single_device():
+    """MF noise is irreducible (measurement back-action), so TP vs single
+    device is compared on readout statistics over the batch."""
+    from ccvm_tpu.dynamics import mf as dyn
+    from ccvm_tpu.dynamics.mf import MFParams
+    from ccvm_tpu.parallel import mf_solve
+
+    q, v = _rand_problem(seed=3)
+    p = MFParams(
+        pump=np.float32(0.0), S=np.float32(20.0), dt=np.float32(0.0025),
+        j=np.float32(5.0), feedback_scale=np.float32(4000),
+        g=np.float32(0.001), lower_limit=np.float32(0),
+        upper_limit=np.float32(1), iterations=np.float32(300),
+    )
+    key = jax.random.PRNGKey(4)
+    mu_tp, mt_tp, sg_tp = mf_solve(
+        _mesh2d(), key, q, v, p, iterations=300, batch_size=256
+    )
+    mu_sd, mt_sd, sg_sd = dyn.solve(key, q, v, p, iterations=300, batch_size=256)
+    assert mt_tp.shape == mt_sd.shape == (256, 16)
+    assert np.isfinite(np.asarray(mt_tp)).all()
+    # Per-variable readout means agree within a few posterior sigmas.
+    m_tp = np.mean(np.asarray(mt_tp), axis=0)
+    m_sd = np.mean(np.asarray(mt_sd), axis=0)
+    s_pool = np.std(np.asarray(mt_sd), axis=0) / np.sqrt(256)
+    assert np.all(np.abs(m_tp - m_sd) < 6 * s_pool + 1e-3)
+
+
+def test_facade_routes_tensor_parallel_mesh():
+    """CCVMSolver(mesh=(batch, model)) must reach the TP engine and produce a
+    valid Solution (VERDICT round 2, item 5)."""
+    sol_tp = _solve(LangevinSolver, LANGEVIN_KEY, _mesh2d(), seed=7)
+    sol_sd = _solve(LangevinSolver, LANGEVIN_KEY, None, seed=7)
+    assert np.isfinite(np.asarray(sol_tp.objective_values)).all()
+    # Different RNG layout -> statistical agreement of the best objective.
+    assert abs(sol_tp.best_objective_value - sol_sd.best_objective_value) < max(
+        0.05 * abs(sol_sd.best_objective_value), 1.0
+    )

@@ -1,0 +1,315 @@
+"""Certify BoxQP instance optima by branch-and-bound.
+
+Proves global optimality of the best-known values written by
+``tools/make_benchmark_set.py`` (the reference set's headers carry
+Gurobi-certified optima, ``examples/benchmarking_instances/*/
+tuningH0*-100-*.in:1``; this tool plays Gurobi's role for our standalone
+set).
+
+Method: spatial branch-and-bound over the box with an LP relaxation built
+from McCormick envelopes — the standard exact approach for nonconvex BoxQP.
+For  max ½ xᵀQx + vᵀx  over [l,u] ⊆ [0,1]ⁿ introduce X_ij ≈ x_i x_j and
+relax with the envelopes the objective actually needs:
+
+  q_ij > 0 (i<j):  X_ij ≤ u_j x_i + l_i x_j − l_i u_j
+                   X_ij ≤ l_j x_i + u_i x_j − u_i l_j
+  q_ij < 0 (i<j):  X_ij ≥ l_j x_i + l_i x_j − l_i l_j
+                   X_ij ≥ u_j x_i + u_i x_j − u_i u_j
+  q_ii > 0:        X_ii ≤ (l_i+u_i) x_i − l_i u_i          (secant)
+  q_ii < 0:        X_ii ≥ 2t x_i − t², t ∈ {l_i, m_i, u_i} (tangents)
+
+The LP optimum upper-bounds the true maximum on the node's box; each node's
+LP point is polished (active-set) into a feasible incumbent.  Branching
+splits the box on the variable with the largest envelope error at the LP
+point.  A node is fathomed when UB ≤ incumbent + tol; the instance is
+certified when the tree is exhausted.
+
+Usage:
+    python tools/certify_boxqp.py INSTANCE_DIR [--sizes 20,30] \
+        [--tol 1e-5] [--max-nodes 200000] [--max-seconds 600] [--workers 8]
+
+Certified files get their header rewritten in place: optimality True and the
+branch-and-bound wall time in the gurobi-time column.  If B&B finds a better
+solution than the recorded best-known (should not happen after the
+multi-start search, but is handled), the header value and solution vector
+are updated too.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import heapq
+import os
+import time
+
+import numpy as np
+from scipy.optimize import linprog
+from scipy.sparse import coo_matrix
+
+
+def load_raw(path):
+    """Parse an instance file WITHOUT the solver-facing sign negation."""
+    with open(path) as f:
+        lines = [ln for ln in f.read().split("\n")]
+    hdr = lines[0].rstrip("\n").split("\t")
+    n = int(hdr[0])
+    v = np.array([float(x) for x in lines[1].split("\t") if x])
+    q = np.array(
+        [[float(x) for x in lines[2 + i].split("\t") if x] for i in range(n)]
+    )
+    sol = None
+    if len(lines) > 2 + n and lines[2 + n].strip():
+        sol = np.array([float(x) for x in lines[2 + n].split("\t") if x])
+    return n, hdr, v, q, sol
+
+
+def write_raw(path, hdr, v, q, sol):
+    with open(path, "w") as f:
+        f.write("\t".join(hdr) + "\n")
+        f.write("\t".join(f"{val:.6f}" for val in v) + "\n")
+        for row in q:
+            f.write("\t".join(f"{val:.6f}" for val in row) + "\n")
+        if sol is not None:
+            f.write("\t".join(f"{val:.6f}" for val in sol) + "\n")
+
+
+def _objective(q, v, x):
+    return 0.5 * x @ q @ x + v @ x
+
+
+def _active_set_polish(q, v, x, max_rounds=50):
+    best_x, best_val = np.clip(x, 0, 1), None
+    best_val = _objective(q, v, best_x)
+    for _ in range(max_rounds):
+        lo = best_x < 1e-9
+        hi = best_x > 1 - 1e-9
+        free = ~(lo | hi)
+        x_new = np.where(hi, 1.0, 0.0)
+        if free.any():
+            qff = q[np.ix_(free, free)]
+            rhs = -(v[free] + q[np.ix_(free, ~free)] @ x_new[~free])
+            try:
+                xf = np.linalg.solve(qff, rhs)
+            except np.linalg.LinAlgError:
+                break
+            if np.any(xf < -1e-9) or np.any(xf > 1 + 1e-9):
+                break
+            x_new[free] = np.clip(xf, 0.0, 1.0)
+        val = _objective(q, v, x_new)
+        if val <= best_val + 1e-12:
+            break
+        best_x, best_val = x_new, val
+    return best_x, best_val
+
+
+class _NodeLP:
+    """Builds and solves the McCormick LP for one node's box [l, u].
+
+    Variable layout: [x_0..x_{n-1}, X_(pairs in fixed order)].
+    Only pairs with q_ij != 0 get an X variable (dense instances: all).
+    """
+
+    def __init__(self, q, v):
+        self.q, self.v = q, v
+        n = q.shape[0]
+        self.n = n
+        pairs = [(i, j) for i in range(n) for j in range(i, n)
+                 if q[i, j] != 0.0 or i == j]
+        self.pairs = pairs
+        self.pair_index = {p: n + k for k, p in enumerate(pairs)}
+        # LP objective (constant): maximize ½⟨Q,X⟩ + vᵀx  →  minimize −(…)
+        cost = np.zeros(n + len(pairs))
+        cost[:n] = -v
+        for k, (i, j) in enumerate(pairs):
+            cost[n + k] = -(q[i, j] if i == j else 2.0 * q[i, j]) * 0.5
+        self.cost = cost
+
+    def solve(self, l, u):
+        """Return (ub, x_lp, X_err) or (None,)*3 if the LP fails."""
+        n, q = self.n, self.q
+        rows, cols, vals, rhs = [], [], [], []
+        r = 0
+
+        def add(entries, b):
+            nonlocal r
+            for c, a in entries:
+                rows.append(r)
+                cols.append(c)
+                vals.append(a)
+            rhs.append(b)
+            r += 1
+
+        for k, (i, j) in enumerate(self.pairs):
+            xk = n + k
+            if i == j:
+                if q[i, i] > 0:
+                    # X_ii − (l+u) x_i ≤ −l u
+                    add([(xk, 1.0), (i, -(l[i] + u[i]))], -l[i] * u[i])
+                else:
+                    # −X_ii + 2t x_i ≤ t²  for tangent points t
+                    m = 0.5 * (l[i] + u[i])
+                    for t in (l[i], m, u[i]):
+                        add([(xk, -1.0), (i, 2.0 * t)], t * t)
+            elif q[i, j] > 0:
+                add([(xk, 1.0), (i, -u[j]), (j, -l[i])], -l[i] * u[j])
+                add([(xk, 1.0), (i, -l[j]), (j, -u[i])], -u[i] * l[j])
+            else:
+                add([(xk, -1.0), (i, l[j]), (j, l[i])], l[i] * l[j])
+                add([(xk, -1.0), (i, u[j]), (j, u[i])], u[i] * u[j])
+
+        A = coo_matrix((vals, (rows, cols)), shape=(r, n + len(self.pairs)))
+        # X bounds from interval arithmetic keep the LP bounded.
+        lb = np.empty(n + len(self.pairs))
+        ub_ = np.empty(n + len(self.pairs))
+        lb[:n], ub_[:n] = l, u
+        for k, (i, j) in enumerate(self.pairs):
+            corners = np.array(
+                [l[i] * l[j], l[i] * u[j], u[i] * l[j], u[i] * u[j]]
+            )
+            lb[n + k], ub_[n + k] = corners.min(), corners.max()
+        res = linprog(
+            self.cost, A_ub=A.tocsr(), b_ub=np.asarray(rhs),
+            bounds=np.stack([lb, ub_], axis=1), method="highs",
+        )
+        if not res.success:
+            return None, None, None
+        x = res.x[:n]
+        # Envelope error per variable drives branching.
+        err = np.zeros(n)
+        for k, (i, j) in enumerate(self.pairs):
+            e = abs(res.x[n + k] - x[i] * x[j]) * abs(
+                self.q[i, j] * (1.0 if i == j else 2.0)
+            )
+            err[i] += e
+            err[j] += e
+        return -res.fun, x, err
+
+
+def certify(q, v, incumbent_val, incumbent_x, tol=1e-5,
+            max_nodes=200_000, max_seconds=600.0):
+    """Returns (proven, best_val, best_x, ub, nodes, wall)."""
+    n = q.shape[0]
+    lp = _NodeLP(q, v)
+    t0 = time.perf_counter()
+    best_val, best_x = incumbent_val, incumbent_x
+
+    root_l, root_u = np.zeros(n), np.ones(n)
+    ub, x_lp, err = lp.solve(root_l, root_u)
+    if ub is None:
+        return False, best_val, best_x, np.inf, 0, 0.0
+    _, val = _active_set_polish(q, v, x_lp)
+    if val > best_val:
+        best_x, best_val = _active_set_polish(q, v, x_lp)[0], val
+
+    # Best-bound-first: heap keyed by −ub (explore loosest node first).
+    heap = [(-ub, 0, root_l, root_u, x_lp, err)]
+    counter = 1
+    nodes = 0
+    while heap:
+        neg_ub, _, l, u, x_lp, err = heapq.heappop(heap)
+        node_ub = -neg_ub
+        if node_ub <= best_val + tol:
+            break  # best-bound-first ⇒ every remaining node is fathomed
+        nodes += 1
+        if nodes > max_nodes or time.perf_counter() - t0 > max_seconds:
+            return (False, best_val, best_x, node_ub, nodes,
+                    time.perf_counter() - t0)
+        # Branch on the largest-envelope-error variable at the LP point.
+        bi = int(np.argmax(err * (u - l > 1e-9)))
+        if u[bi] - l[bi] <= 1e-9:
+            wide = np.argsort(-(u - l))
+            bi = int(wide[0])
+            if u[bi] - l[bi] <= 1e-9:
+                continue  # box is a point; its polished value is in best_val
+        split = np.clip(x_lp[bi], l[bi] + 0.2 * (u[bi] - l[bi]),
+                        u[bi] - 0.2 * (u[bi] - l[bi]))
+        for lo_hi in (0, 1):
+            cl, cu = l.copy(), u.copy()
+            if lo_hi == 0:
+                cu[bi] = split
+            else:
+                cl[bi] = split
+            c_ub, c_x, c_err = lp.solve(cl, cu)
+            if c_ub is None or c_ub <= best_val + tol:
+                continue
+            _, val = _active_set_polish(q, v, c_x)
+            if val > best_val:
+                best_x, best_val = _active_set_polish(q, v, c_x)[0], val
+            heapq.heappush(heap, (-c_ub, counter, cl, cu, c_x, c_err))
+            counter += 1
+    wall = time.perf_counter() - t0
+    global_ub = max(best_val, -heap[0][0]) if heap else best_val
+    return True, best_val, best_x, global_ub, nodes, wall
+
+
+def certify_file(path, tol, max_nodes, max_seconds):
+    n, hdr, v, q, sol = load_raw(path)
+    recorded = float(hdr[1])
+    if sol is None:
+        sol = np.full(n, 0.5)
+    x0, val0 = _active_set_polish(q, v, sol)
+    if val0 < recorded - 1e-4:
+        # Recorded value not reproduced by the stored vector; trust the vector.
+        print(f"  WARNING {path}: stored solution gives {val0:.6f} "
+              f"vs header {recorded:.6f}")
+    proven, best_val, best_x, ub, nodes, wall = certify(
+        q, v, val0, x0, tol=tol, max_nodes=max_nodes, max_seconds=max_seconds
+    )
+    improved = best_val > recorded + 1e-6
+    if proven or improved:
+        hdr[1] = hdr[2] = f"{best_val:.6f}"
+        hdr[3] = "True" if proven else "False"
+        hdr[4] = f"{wall:.4f}"
+        hdr[7] = str(int(np.sum((best_x > 1e-6) & (best_x < 1 - 1e-6))))
+        write_raw(path, hdr, v, q, best_x)
+    status = "CERTIFIED" if proven else "unproven"
+    extra = " (improved best-known!)" if improved else ""
+    print(f"  {os.path.basename(path)}: {status} opt={best_val:.6f} "
+          f"ub={ub:.6f} nodes={nodes} wall={wall:.1f}s{extra}")
+    return proven, improved
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("instance_dir")
+    ap.add_argument("--sizes", default="20,30")
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--max-nodes", type=int, default=200_000)
+    ap.add_argument("--max-seconds", type=float, default=600.0)
+    ap.add_argument("--workers", type=int, default=os.cpu_count() or 1)
+    args = ap.parse_args()
+
+    work = []
+    for size in (int(s) for s in args.sizes.split(",") if s):
+        work += sorted(
+            glob.glob(os.path.join(args.instance_dir, f"Size{size}", "*.in"))
+        )
+    single = os.path.join(args.instance_dir, "single_test_instance",
+                          "tuningH020-100-0.in")
+    if os.path.exists(single):
+        work.append(single)
+    print(f"certifying {len(work)} instances "
+          f"(tol {args.tol}, {args.workers} workers)")
+
+    if args.workers > 1:
+        import multiprocessing as mp
+
+        with mp.Pool(args.workers) as pool:
+            results = pool.starmap(
+                certify_file,
+                [(p, args.tol, args.max_nodes, args.max_seconds)
+                 for p in work],
+            )
+    else:
+        results = [
+            certify_file(p, args.tol, args.max_nodes, args.max_seconds)
+            for p in work
+        ]
+    n_proven = sum(1 for pr, _ in results if pr)
+    n_improved = sum(1 for _, im in results if im)
+    print(f"proven {n_proven}/{len(work)}; improved best-known: {n_improved}")
+
+
+if __name__ == "__main__":
+    main()
