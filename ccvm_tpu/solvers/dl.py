@@ -414,12 +414,12 @@ class DLSolver(CCVMSolver):
         # NOTE: the reference applies change_variables AGAIN to post-processed
         # output (dl_solver.py:941-958); preserved for behavioural parity.
         confs = self.change_variables(problem_variables, lo, hi, params.S)
-        objval = instance.compute_energy(confs)
+        # Float64 host readout energy: solution statistics need more than
+        # float32 precision near the 0.1% gap (see compute_energy_host64);
+        # the device->host transfer doubles as the pipeline's single sync.
+        objval = instance.compute_energy_host64(confs)
 
         if self.timing == "async":
-            # The pipeline's single device sync; everything upstream (solve,
-            # post-processing, readout) was dispatched without a barrier.
-            objval = np.asarray(objval)
             solve_time = (time.time() - solve_time_start) / batch_size - pp_time
 
         if evolution_step_size:

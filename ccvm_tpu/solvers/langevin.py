@@ -375,11 +375,12 @@ class LangevinSolver(CCVMSolver):
             problem_variables = c_prime
             pp_time = 0.0
 
-        objval = instance.compute_energy(problem_variables)
+        # Float64 host readout energy: solution statistics need more than
+        # float32 precision near the 0.1% gap (see compute_energy_host64);
+        # the device->host transfer doubles as the pipeline's single sync.
+        objval = instance.compute_energy_host64(problem_variables)
 
         if self.timing == "async":
-            # The pipeline's single device sync (see CCVMSolver docstring).
-            objval = np.asarray(objval)
             solve_time = (time.time() - solve_time_start) / batch_size - pp_time
 
         if evolution_step_size:

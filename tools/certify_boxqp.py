@@ -245,6 +245,9 @@ def certify(q, v, incumbent_val, incumbent_x, tol=1e-5,
 
 def certify_file(path, tol, max_nodes, max_seconds):
     n, hdr, v, q, sol = load_raw(path)
+    if hdr[3] == "True":
+        print(f"  {os.path.basename(path)}: already certified, skipping")
+        return True, False
     recorded = float(hdr[1])
     if sol is None:
         sol = np.full(n, 0.5)
