@@ -124,6 +124,39 @@ def scan_steps_from(step_fn, init_state, key, start: int, num: int):
     return final_state
 
 
+def scan_steps_segmented(step_fn, init_state, key, segments):
+    """Run the full iteration loop in ONE jit, emitting a state sample after
+    each segment (evolution recording).
+
+    ``segments`` is a 1-D int array of per-segment step counts (summing to
+    the total iterations; see ``CCVMSolver._evolution_sample_plan``).  The
+    per-iteration key derivation is identical to :func:`scan_steps` /
+    :func:`scan_steps_from`, so trajectories are bit-identical to the
+    segmented host-loop driver this replaces — but with a single dispatch and
+    a single device sync instead of one per segment (SURVEY §7 plan).
+
+    Returns ``(final_state, samples)`` where ``samples`` stacks the state
+    pytree with a leading (num_segments,) axis.
+    """
+    seg = jnp.asarray(segments, jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(seg)[:-1]]
+    )
+
+    def outer(state, bounds):
+        start, num = bounds
+
+        def inner(j, st):
+            i = start + j
+            k = jax.random.fold_in(key, i)
+            return step_fn(st, i, k)
+
+        state = lax.fori_loop(0, num, inner, state)
+        return state, state
+
+    return lax.scan(outer, init_state, (starts, seg))
+
+
 @jax.jit
 def change_variables_boxqp(problem_variables, lower_limit=0, upper_limit=1, S=1):
     """Map solver amplitudes into the box (reference ``dl_solver.py:219-235``;

@@ -210,6 +210,46 @@ def solve(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("batch_size", "pump_rate_flag", "pump_is_gt_one", "hp"),
+)
+def solve_sampled(
+    key,
+    q_matrix,
+    v_vector,
+    params: DLParams,
+    segments,
+    *,
+    batch_size: int,
+    pump_rate_flag: bool = True,
+    pump_is_gt_one: bool = False,
+    hp: AdamHyperparameters | None = None,
+):
+    """One-jit solve emitting (c, s) samples after each segment.
+
+    Returns ``((c_final_clamped, s_final), (c_samples, s_samples))``; the
+    final clamp matches :func:`solve` (``dl_solver.py:566-569``); samples are
+    the raw pre-clamp states, as in the segmented driver this replaces."""
+    n = q_matrix.shape[0]
+    c0 = jnp.zeros((batch_size, n), q_matrix.dtype)
+    s0 = jnp.zeros_like(c0)
+    if hp is None:
+        step = make_step(
+            q_matrix, v_vector, params, pump_rate_flag, pump_is_gt_one
+        )
+        state0 = (c0, s0)
+    else:
+        step = make_adam_step(
+            q_matrix, v_vector, params, pump_rate_flag, pump_is_gt_one, hp
+        )
+        z = jnp.zeros_like(c0)
+        state0 = (c0, s0, z, z, z, z)
+    final, samples = common.scan_steps_segmented(step, state0, key, segments)
+    c = jnp.clip(final[0], -params.S, params.S)
+    return (c, final[1]), (samples[0], samples[1])
+
+
+@functools.partial(
     jax.jit, static_argnames=("num", "pump_rate_flag", "pump_is_gt_one", "hp")
 )
 def solve_segment(

@@ -111,6 +111,34 @@ def solve(
     return c
 
 
+@functools.partial(jax.jit, static_argnames=("batch_size", "hp"))
+def solve_sampled(
+    key,
+    q_matrix,
+    v_vector,
+    params: LangevinParams,
+    segments,
+    *,
+    batch_size: int,
+    hp: AdamHyperparameters | None = None,
+):
+    """Whole solve in one jit with a c sample after each segment (in-jit
+    evolution recording).  Returns (c_final, c_samples[num_segments, b, n]);
+    trajectories are bit-identical to chaining :func:`solve_segment`."""
+    n = q_matrix.shape[0]
+    c0 = jnp.zeros((batch_size, n), q_matrix.dtype)
+    if hp is None:
+        step = make_step(q_matrix, v_vector, params)
+        final, samples = common.scan_steps_segmented(step, c0, key, segments)
+        return final, samples
+    step = make_adam_step(q_matrix, v_vector, params, hp)
+    zeros = jnp.zeros_like(c0)
+    final, samples = common.scan_steps_segmented(
+        step, (c0, zeros, zeros), key, segments
+    )
+    return final[0], samples[0]
+
+
 @functools.partial(jax.jit, static_argnames=("num", "hp"))
 def solve_segment(
     key,

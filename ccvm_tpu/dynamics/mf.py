@@ -188,6 +188,41 @@ def solve(
     return mu, mu_tilde, sigma
 
 
+@functools.partial(
+    jax.jit, static_argnames=("batch_size", "pump_rate_flag", "hp")
+)
+def solve_sampled(
+    key,
+    q_matrix,
+    v_vector,
+    params: MFParams,
+    segments,
+    *,
+    batch_size: int,
+    pump_rate_flag: bool = True,
+    hp: AdamHyperparameters | None = None,
+):
+    """One-jit solve emitting (mu, sigma) samples after each segment.
+
+    Returns ``((mu, mu_tilde_clamped, sigma), (mu_samples, sigma_samples))``
+    with the readout mu_tilde from the last iteration, like :func:`solve`."""
+    n = q_matrix.shape[0]
+    mu0 = jnp.zeros((batch_size, n), q_matrix.dtype)
+    sigma0 = jnp.full_like(mu0, 0.5)
+    mt0 = jnp.zeros_like(mu0)
+    if hp is None:
+        step = make_step(q_matrix, v_vector, params, pump_rate_flag)
+        state0 = (mu0, sigma0, mt0)
+    else:
+        step = make_adam_step(q_matrix, v_vector, params, pump_rate_flag, hp)
+        z = jnp.zeros_like(mu0)
+        state0 = (mu0, sigma0, mt0, z, z)
+    final, samples = common.scan_steps_segmented(step, state0, key, segments)
+    mu, sigma = final[0], final[1]
+    mu_tilde = jnp.clip(final[2], -params.S, params.S)
+    return (mu, mu_tilde, sigma), (samples[0], samples[1])
+
+
 @functools.partial(jax.jit, static_argnames=("num", "pump_rate_flag", "hp"))
 def solve_segment(
     key,

@@ -120,6 +120,35 @@ def solve(
     return c
 
 
+@functools.partial(
+    jax.jit, static_argnames=("batch_size", "pump_rate_flag", "hp")
+)
+def solve_sampled(
+    key,
+    q_matrix,
+    v_vector,
+    params: PumpedLangevinParams,
+    segments,
+    *,
+    batch_size: int,
+    pump_rate_flag: bool = True,
+    hp: AdamHyperparameters | None = None,
+):
+    """One-jit solve with a c sample after each segment (see
+    :func:`ccvm_tpu.dynamics.common.scan_steps_segmented`)."""
+    n = q_matrix.shape[0]
+    c0 = jnp.zeros((batch_size, n), q_matrix.dtype)
+    if hp is None:
+        step = make_step(q_matrix, v_vector, params, pump_rate_flag)
+        return common.scan_steps_segmented(step, c0, key, segments)
+    step = make_adam_step(q_matrix, v_vector, params, pump_rate_flag, hp)
+    zeros = jnp.zeros_like(c0)
+    final, samples = common.scan_steps_segmented(
+        step, (c0, zeros, zeros), key, segments
+    )
+    return final[0], samples[0]
+
+
 @functools.partial(jax.jit, static_argnames=("num", "pump_rate_flag", "hp"))
 def solve_segment(
     key,

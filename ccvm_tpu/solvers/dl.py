@@ -274,34 +274,28 @@ class DLSolver(CCVMSolver):
                 hp=hp, shard=self._batch_sharding(),
             )
 
+        # In-jit evolution sampling: one dispatch, one sync (see langevin.py);
+        # the final clamp to the original +-S happens inside solve_sampled
+        # (reference dl_solver.py:566-567).
         n = self.q_matrix.shape[0]
         num_samples, segments = self._evolution_sample_plan(
             iterations, evolution_step_size
         )
-        c = jnp.zeros((self.batch_size, n), jnp.float32)
-        s = jnp.zeros_like(c)
-        if hp is None:
-            state = (c, s)
-        else:
-            z = jnp.zeros_like(c)
-            state = (c, s, z, z, z, z)
+        (c, s), (c_samp, s_samp) = dyn.solve_sampled(
+            key, self.q_matrix, self.v_vector, params,
+            np.asarray(segments, np.int32), batch_size=self.batch_size,
+            pump_rate_flag=pump_rate_flag, pump_is_gt_one=pump_is_gt_one,
+            hp=hp,
+        )
         self.c_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
         self.s_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
-        start = 0
-        samples_taken = 0
-        for seg in segments:
-            state = dyn.solve_segment(
-                key, self.q_matrix, self.v_vector, params, state, start,
-                num=seg, pump_rate_flag=pump_rate_flag,
-                pump_is_gt_one=pump_is_gt_one, hp=hp,
-            )
-            self.c_sample[:, :, samples_taken] = np.asarray(state[0])
-            self.s_sample[:, :, samples_taken] = np.asarray(state[1])
-            samples_taken += 1
-            start += seg
-        # Final clamp to the original +-S (reference dl_solver.py:566-567)
-        c = jnp.clip(state[0], -params.S, params.S)
-        return c, state[1]
+        self.c_sample[:, :, : len(segments)] = np.moveaxis(
+            np.asarray(c_samp), 0, -1
+        )
+        self.s_sample[:, :, : len(segments)] = np.moveaxis(
+            np.asarray(s_samp), 0, -1
+        )
+        return c, s
 
     def _solve_adam(
         self, key, params, iterations, pump_rate_flag, pump_is_gt_one,

@@ -252,29 +252,23 @@ class LangevinSolver(CCVMSolver):
                 shard=self._batch_sharding(),
             )
 
-        # Segmented path with evolution sampling (matches reference sampling
-        # schedule, langevin_solver.py:427-433)
+        # In-jit evolution sampling (reference schedule,
+        # langevin_solver.py:427-433): the whole loop runs as ONE jit that
+        # emits a sample after each segment — a single dispatch and a single
+        # device sync instead of one per segment.
         n = self.q_matrix.shape[0]
         num_samples, segments = self._evolution_sample_plan(
             iterations, evolution_step_size
         )
-        state = jnp.zeros((self.batch_size, n), jnp.float32)
-        if hp is not None:
-            z = jnp.zeros_like(state)
-            state = (state, z, z)
+        c, samples = dyn.solve_sampled(
+            key, self.q_matrix, self.v_vector, params,
+            np.asarray(segments, np.int32), batch_size=self.batch_size, hp=hp,
+        )
         self.c_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
-        start = 0
-        samples_taken = 0
-        for seg in segments:
-            state = dyn.solve_segment(
-                key, self.q_matrix, self.v_vector, params, state, start,
-                num=seg, hp=hp,
-            )
-            c_now = state if hp is None else state[0]
-            self.c_sample[:, :, samples_taken] = np.asarray(c_now)
-            samples_taken += 1
-            start += seg
-        return state if hp is None else state[0]
+        self.c_sample[:, :, : len(segments)] = np.moveaxis(
+            np.asarray(samples), 0, -1
+        )
+        return c
 
     def _solve_adam(self, key, params, iterations, evolution_step_size, hyperparameters):
         return self._solve(

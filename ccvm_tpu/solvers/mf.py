@@ -283,33 +283,26 @@ class MFSolver(CCVMSolver):
                 shard=self._batch_sharding(),
             )
 
+        # In-jit evolution sampling: one dispatch, one sync (see langevin.py);
+        # the readout mu_tilde (last iteration, clamped) comes from
+        # solve_sampled, matching dyn.solve.
         n = self.q_matrix.shape[0]
         num_samples, segments = self._evolution_sample_plan(
             iterations, evolution_step_size
         )
-        mu = jnp.zeros((self.batch_size, n), jnp.float32)
-        sigma = jnp.full_like(mu, 0.5)
-        mt = jnp.zeros_like(mu)
-        if hp is None:
-            state = (mu, sigma, mt)
-        else:
-            z = jnp.zeros_like(mu)
-            state = (mu, sigma, mt, z, z)
+        (mu, mu_tilde, sigma), (mu_samp, sigma_samp) = dyn.solve_sampled(
+            key, self.q_matrix, self.v_vector, params,
+            np.asarray(segments, np.int32), batch_size=self.batch_size,
+            pump_rate_flag=pump_rate_flag, hp=hp,
+        )
         self.mu_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
         self.sigma_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
-        start = 0
-        samples_taken = 0
-        for seg in segments:
-            state = dyn.solve_segment(
-                key, self.q_matrix, self.v_vector, params, state, start,
-                num=seg, pump_rate_flag=pump_rate_flag, hp=hp,
-            )
-            self.mu_sample[:, :, samples_taken] = np.asarray(state[0])
-            self.sigma_sample[:, :, samples_taken] = np.asarray(state[1])
-            samples_taken += 1
-            start += seg
-        mu, sigma, mu_tilde = state[0], state[1], state[2]
-        mu_tilde = jnp.clip(mu_tilde, -params.S, params.S)
+        self.mu_sample[:, :, : len(segments)] = np.moveaxis(
+            np.asarray(mu_samp), 0, -1
+        )
+        self.sigma_sample[:, :, : len(segments)] = np.moveaxis(
+            np.asarray(sigma_samp), 0, -1
+        )
         return mu, mu_tilde, sigma
 
     def _solve_adam(

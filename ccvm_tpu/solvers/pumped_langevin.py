@@ -153,27 +153,21 @@ class PumpedLangevinSolver(CCVMSolver):
                 shard=self._batch_sharding(),
             )
 
+        # In-jit evolution sampling: one dispatch, one sync (see langevin.py).
         n = self.q_matrix.shape[0]
         num_samples, segments = self._evolution_sample_plan(
             iterations, evolution_step_size
         )
-        state = jnp.zeros((self.batch_size, n), jnp.float32)
-        if hp is not None:
-            z = jnp.zeros_like(state)
-            state = (state, z, z)
+        c, samples = dyn.solve_sampled(
+            key, self.q_matrix, self.v_vector, params,
+            np.asarray(segments, np.int32), batch_size=self.batch_size,
+            pump_rate_flag=pump_rate_flag, hp=hp,
+        )
         self.c_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
-        start = 0
-        samples_taken = 0
-        for seg in segments:
-            state = dyn.solve_segment(
-                key, self.q_matrix, self.v_vector, params, state, start,
-                num=seg, pump_rate_flag=pump_rate_flag, hp=hp,
-            )
-            c_now = state if hp is None else state[0]
-            self.c_sample[:, :, samples_taken] = np.asarray(c_now)
-            samples_taken += 1
-            start += seg
-        return state if hp is None else state[0]
+        self.c_sample[:, :, : len(segments)] = np.moveaxis(
+            np.asarray(samples), 0, -1
+        )
+        return c
 
     def _solve_adam(
         self, key, params, iterations, pump_rate_flag, evolution_step_size,
