@@ -15,14 +15,15 @@ from __future__ import annotations
 
 def langevin_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    rng="popcount32",
+    rng="popcount32", hp=None,
 ):
-    """Fused Langevin solve; implemented in ops/pallas_kernels.py."""
+    """Fused Langevin solve; implemented in ops/pallas_kernels.py.
+    ``hp`` runs the fused Adam-in-loop variant (moments in VMEM scratch)."""
     from ccvm_tpu.ops import pallas_kernels
 
     return pallas_kernels.langevin_solve(
         key, q_matrix, v_vector, params, iterations=iterations,
-        batch_size=batch_size, rng=rng,
+        batch_size=batch_size, rng=rng, hp=hp,
     )
 
 
@@ -40,14 +41,14 @@ def pumped_langevin_solve(
 
 def dl_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size, pump_rate_flag,
-    pump_is_gt_one, rng="popcount32",
+    pump_is_gt_one, rng="popcount32", hp=None,
 ):
     from ccvm_tpu.ops import pallas_kernels
 
     return pallas_kernels.dl_solve(
         key, q_matrix, v_vector, params, iterations=iterations,
         batch_size=batch_size, pump_rate_flag=pump_rate_flag,
-        pump_is_gt_one=pump_is_gt_one, rng=rng,
+        pump_is_gt_one=pump_is_gt_one, rng=rng, hp=hp,
     )
 
 

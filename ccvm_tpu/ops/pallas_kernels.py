@@ -341,6 +341,24 @@ def _matvec(x, q_ref):
     return jnp.dot(x, q_ref[:], preferred_element_type=jnp.float32)
 
 
+def _adam_update(grads, m, v, fi, hp):
+    """In-kernel Adam moment filtering; matches
+    :func:`ccvm_tpu.dynamics.common.adam_moment_update` exactly (static hp:
+    ``beta2 == 1.0`` elides the second moment, ``add_assign`` adds the raw
+    gradient back — reference ``dl_solver.py:644-686``)."""
+    eps = jnp.float32(1e-8)
+    m = hp.beta1 * m + (1.0 - hp.beta1) * grads
+    mhat = m / (1.0 - jnp.power(jnp.float32(hp.beta1), fi + 1.0))
+    if hp.beta2 != 1.0:
+        v = hp.beta2 * v + (1.0 - hp.beta2) * jnp.square(grads)
+        vhat = v / (1.0 - jnp.power(jnp.float32(hp.beta2), fi + 1.0))
+        update = hp.alpha * mhat / (jnp.sqrt(vhat) + eps)
+    else:
+        update = hp.alpha * mhat
+    effective = grads + update if hp.add_assign else update
+    return effective, m, v
+
+
 # ---------------------------------------------------------------------------
 # Langevin
 # ---------------------------------------------------------------------------
@@ -409,9 +427,12 @@ def _langevin_call(
 
 def langevin_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
-    interpret=False, noise_scale=1.0, rng="popcount32",
+    interpret=False, noise_scale=1.0, rng="popcount32", hp=None,
 ):
-    """Fused Langevin solve, or None if the config doesn't fit the kernel."""
+    """Fused Langevin solve, or None if the config doesn't fit the kernel.
+
+    ``hp`` (AdamHyperparameters) selects the fused Adam-in-loop variant with
+    the moment arrays in VMEM scratch."""
     if np.ndim(params.S) != 0:
         return None
     # Host-side numpy: zero eager device dispatches before the jit call.
@@ -426,11 +447,85 @@ def langevin_solve(
         ],
         np.float32,
     ).reshape(1, -1)
+    if hp is not None:
+        return _langevin_adam_call(
+            key, q_matrix, v_vector, params_vec,
+            iterations=int(iterations), batch_size=int(batch_size),
+            interpret=interpret, noise_scale=float(noise_scale), rng=rng,
+            hp=hp,
+        )
     return _langevin_call(
         key, q_matrix, v_vector, params_vec,
         iterations=int(iterations), batch_size=int(batch_size),
         interpret=interpret, noise_scale=float(noise_scale), rng=rng,
     )
+
+
+def _langevin_adam_kernel(
+    iterations, n, noise_scale, rng, hp,
+    seed_ref, params_ref, q_ref, v_ref, c_ref, m_ref, v2_ref,
+):
+    """Langevin with Adam-filtered gradients (reference
+    ``langevin_solver.py:437-561``); the moments live in VMEM scratch."""
+    _maybe_seed(seed_ref, noise_scale)
+    S = params_ref[0, 0]
+    dt = params_ref[0, 1]
+    sigma = params_ref[0, 2]
+    fs = params_ref[0, 3]
+    lo = params_ref[0, 4]
+    hi = params_ref[0, 5]
+    sqrt_dt = jnp.sqrt(dt)
+    scale = (hi - lo) / (2.0 * S)
+    mid = (hi + lo) / 2.0
+    batch, np_ = c_ref.shape
+    v_row = v_ref[0, 0, :]
+
+    c_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+    m_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+    v2_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+
+    def step(state, fi):
+        c, m, v2 = state
+        x = c * scale + mid
+        grads = -(_matvec(x, q_ref) + v_row) * scale
+        eff, m, v2 = _adam_update(grads, m, v2, fi, hp)
+        w = _noise_one((batch, np_), noise_scale, rng)
+        c = c + dt * fs * eff + (sigma * sqrt_dt) * w
+        return (jnp.clip(c, -S, S), m, v2)
+
+    _run_unrolled(iterations, (c_ref, m_ref, v2_ref), step)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "batch_size", "interpret", "noise_scale", "rng", "hp",
+    ),
+)
+def _langevin_adam_call(
+    key, q_matrix, v_vector, params_vec, *, iterations, batch_size, interpret,
+    noise_scale, rng, hp,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    stacked = q_matrix.ndim == 3
+    q, v, n, np_, num_instances, pack = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 3)
+    kernel = functools.partial(
+        _langevin_adam_kernel, iterations, n * pack, noise_scale, rng, hp
+    )
+    scratch = pltpu.VMEM((tile, np_), jnp.float32)
+    c = pl.pallas_call(
+        kernel,
+        grid=(num_instances, k),
+        out_shape=jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        out_specs=_out_spec(pl, pltpu, tile, np_, k),
+        scratch_shapes=[scratch, scratch],
+        interpret=interpret,
+    )(_seed_from_key(key), params_vec, q, v)
+    return _unstack(c, stacked, num_instances, pb, batch_size, n, pack)
 
 
 # ---------------------------------------------------------------------------
@@ -632,8 +727,9 @@ def _dl_call(
 def dl_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
     pump_rate_flag, pump_is_gt_one, interpret=False, noise_scale=1.0,
-    rng="popcount32",
+    rng="popcount32", hp=None,
 ):
+    """Fused DL solve; ``hp`` selects the fused Adam-in-loop variant."""
     if np.ndim(params.S) != 0:
         return None
     params_vec = np.array(
@@ -650,12 +746,119 @@ def dl_solve(
         ],
         np.float32,
     ).reshape(1, -1)
+    if hp is not None:
+        return _dl_adam_call(
+            key, q_matrix, v_vector, params_vec,
+            iterations=int(iterations), batch_size=int(batch_size),
+            pump_rate_flag=bool(pump_rate_flag),
+            pump_is_gt_one=bool(pump_is_gt_one), interpret=interpret,
+            noise_scale=float(noise_scale), rng=rng, hp=hp,
+        )
     return _dl_call(
         key, q_matrix, v_vector, params_vec,
         iterations=int(iterations), batch_size=int(batch_size),
         pump_rate_flag=bool(pump_rate_flag),
         pump_is_gt_one=bool(pump_is_gt_one), interpret=interpret,
         noise_scale=float(noise_scale), rng=rng,
+    )
+
+
+def _dl_adam_kernel(
+    iterations, n, pump_rate_flag, pump_is_gt_one, noise_scale, rng, hp,
+    seed_ref, params_ref, q_ref, v_ref, c_ref, s_ref,
+    mc_ref, vc_ref, ms_ref, vs_ref,
+):
+    """DL-CCVM with Adam-filtered feedback gradients (reference
+    ``dl_solver.py:571-769``): the pump drift stays physical with
+    pump_rate = pump*(i+1)/T; the four moment arrays live in VMEM scratch.
+    Drift math mirrors :func:`ccvm_tpu.dynamics.dl.make_adam_step`."""
+    _maybe_seed(seed_ref, noise_scale)
+    pump = params_ref[0, 0]
+    S_user = params_ref[0, 1]
+    dt = params_ref[0, 2]
+    noise_ratio = params_ref[0, 3]
+    fs = params_ref[0, 4]  # unused by the Adam drift; kept for layout parity
+    g = params_ref[0, 5]
+    lo = params_ref[0, 6]
+    hi = params_ref[0, 7]
+    T = params_ref[0, 8]
+    del fs
+    S_d = jnp.sqrt(pump - 1.0) if pump_is_gt_one else S_user
+    sqrt_dt = jnp.sqrt(dt)
+    span = hi - lo
+    mid = hi + lo
+    g3 = v_ref[0, 0, :] * span / (2.0 * S_d)
+    batch, np_ = c_ref.shape
+
+    for r in (c_ref, s_ref, mc_ref, vc_ref, ms_ref, vs_ref):
+        r[:] = jnp.zeros((batch, np_), jnp.float32)
+
+    def step(state, fi):
+        c, s, m_c, v_c, m_s, v_s = state
+        pump_rate = pump * (fi + 1.0) / T if pump_rate_flag else pump
+        nr_i = (noise_ratio - 1.0) * jnp.exp(-(fi + 1.0) / T * 3.0) + 1.0
+        x_c = c * span / S_d + mid
+        x_s = s * span / S_d + mid
+        c_grads = -(0.25 * _matvec(x_c, q_ref) * span / S_d) - g3
+        s_grads = -(0.25 * _matvec(x_s, q_ref) * span / S_d) - g3
+        c_eff, m_c, v_c = _adam_update(c_grads, m_c, v_c, fi, hp)
+        s_eff, m_s, v_s = _adam_update(s_grads, m_s, v_s, fi, hp)
+        c_pow = jnp.square(c)
+        s_pow = jnp.square(s)
+        c_drift = (-1.0 + pump_rate - c_pow - s_pow) * c
+        s_drift = (-1.0 - pump_rate - c_pow - s_pow) * s
+        w_c, w_s = _noise_pair((batch, np_), noise_scale, rng)
+        diff = 2.0 * g * jnp.sqrt(c_pow + s_pow + 0.5)
+        return (
+            c + dt * (c_drift + c_eff) + (diff * (sqrt_dt * nr_i)) * w_c,
+            s + dt * (s_drift + s_eff) + (diff * (sqrt_dt / nr_i)) * w_s,
+            m_c, v_c, m_s, v_s,
+        )
+
+    _run_unrolled(
+        iterations, (c_ref, s_ref, mc_ref, vc_ref, ms_ref, vs_ref), step
+    )
+    c_ref[:] = jnp.clip(c_ref[:], -S_user, S_user)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "batch_size", "pump_rate_flag", "pump_is_gt_one",
+        "interpret", "noise_scale", "rng", "hp",
+    ),
+)
+def _dl_adam_call(
+    key, q_matrix, v_vector, params_vec, *, iterations, batch_size,
+    pump_rate_flag, pump_is_gt_one, interpret, noise_scale, rng, hp,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    stacked = q_matrix.ndim == 3
+    q, v, n, np_, num_instances, pack = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 6)
+    kernel = functools.partial(
+        _dl_adam_kernel, iterations, n * pack, pump_rate_flag, pump_is_gt_one,
+        noise_scale, rng, hp,
+    )
+    tile_spec = _out_spec(pl, pltpu, tile, np_, k)
+    scratch = pltpu.VMEM((tile, np_), jnp.float32)
+    c, s = pl.pallas_call(
+        kernel,
+        grid=(num_instances, k),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
+        ),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        out_specs=(tile_spec, tile_spec),
+        scratch_shapes=[scratch] * 4,
+        interpret=interpret,
+    )(_seed_from_key(key), params_vec, q, v)
+    return (
+        _unstack(c, stacked, num_instances, pb, batch_size, n, pack),
+        _unstack(s, stacked, num_instances, pb, batch_size, n, pack),
     )
 
 

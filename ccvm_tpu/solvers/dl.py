@@ -243,14 +243,17 @@ class DLSolver(CCVMSolver):
         evolution_step_size, hp=None,
     ):
         if not evolution_step_size:
-            if self._use_pallas(evolution_step_size, params.S, hp):
+            # hp_in_kernel: the DL Adam variant has a fused kernel (four
+            # moment arrays in VMEM scratch), so Adam solves stay fused.
+            if self._use_pallas(evolution_step_size, params.S, hp,
+                                hp_in_kernel=True):
                 from ccvm_tpu.ops import kernels
 
                 out = kernels.dl_solve(
                     key, self.q_matrix, self.v_vector, params,
                     iterations=iterations, batch_size=self.batch_size,
                     pump_rate_flag=pump_rate_flag, pump_is_gt_one=pump_is_gt_one,
-                    rng=self.kernel_rng,
+                    rng=self.kernel_rng, hp=hp,
                 )
                 if out is not None:
                     return out

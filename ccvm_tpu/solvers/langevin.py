@@ -225,13 +225,16 @@ class LangevinSolver(CCVMSolver):
         """Run the scanned (or fused-kernel, or mesh-sharded) solve;
         optionally record evolution samples segment by segment."""
         if not evolution_step_size:
-            if self._use_pallas(evolution_step_size, params.S, hp):
+            # hp_in_kernel: the Langevin Adam variant has a fused kernel
+            # (moments in VMEM scratch), so Adam solves stay on the fast path.
+            if self._use_pallas(evolution_step_size, params.S, hp,
+                                hp_in_kernel=True):
                 from ccvm_tpu.ops import kernels
 
                 c = kernels.langevin_solve(
                     key, self.q_matrix, self.v_vector, params,
                     iterations=iterations, batch_size=self.batch_size,
-                    rng=self.kernel_rng,
+                    rng=self.kernel_rng, hp=hp,
                 )
                 if c is not None:
                     return c

@@ -279,3 +279,62 @@ def test_stacked_pumped_langevin_kernel_matches_lax_oracle(stacked_problem):
                 pump_rate_flag=True,
             )
             np.testing.assert_allclose(c_st[i], c_lax, atol=TOL)
+
+
+# ---------------------------------------------------------------------------
+# Fused Adam-in-loop kernels (VERDICT round 2, item 6): noise-free oracle
+# equivalence against the lax Adam path for DL and Langevin, across the
+# beta2/add_assign specialization matrix.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "beta2,add_assign", [(0.99, False), (1.0, False), (0.99, True)]
+)
+def test_langevin_adam_kernel_matches_lax_oracle(problem, beta2, add_assign):
+    q, v = problem
+    key = jax.random.PRNGKey(0)
+    hp = common.AdamHyperparameters(
+        alpha=0.1, beta1=0.9, beta2=beta2, add_assign=add_assign
+    )
+    p = lgv.LangevinParams(
+        S=jnp.float32(0.5), dt=jnp.float32(0.002), sigma=jnp.float32(0.5),
+        feedback_scale=jnp.float32(1.0), lower_limit=jnp.float32(0.0),
+        upper_limit=jnp.float32(1.0),
+    )
+    with mock.patch.object(common, "normal", _zeros_normal):
+        c_lax = lgv.solve(
+            key, q, v, p, iterations=ITERS, batch_size=BATCH, hp=hp
+        )
+    c_pal = pk.langevin_solve(
+        key, q, v, p, iterations=ITERS, batch_size=BATCH,
+        interpret=True, noise_scale=0.0, hp=hp,
+    )
+    np.testing.assert_allclose(c_pal, c_lax, atol=TOL)
+
+
+@pytest.mark.parametrize("beta2", [0.99, 1.0])
+def test_dl_adam_kernel_matches_lax_oracle(problem, beta2):
+    q, v = problem
+    key = jax.random.PRNGKey(0)
+    hp = common.AdamHyperparameters(
+        alpha=0.1, beta1=0.9, beta2=beta2, add_assign=False
+    )
+    p = dldyn.DLParams(
+        pump=jnp.float32(8.0), S=jnp.float32(1.0), dt=jnp.float32(0.001),
+        noise_ratio=jnp.float32(10.0), feedback_scale=jnp.float32(100.0),
+        g=jnp.float32(0.05), lower_limit=jnp.float32(0.0),
+        upper_limit=jnp.float32(1.0), iterations=jnp.float32(ITERS),
+    )
+    with mock.patch.object(common, "normal", _zeros_normal):
+        c_lax, s_lax = dldyn.solve(
+            key, q, v, p, iterations=ITERS, batch_size=BATCH,
+            pump_rate_flag=True, pump_is_gt_one=True, hp=hp,
+        )
+    c_pal, s_pal = pk.dl_solve(
+        key, q, v, p, iterations=ITERS, batch_size=BATCH,
+        pump_rate_flag=True, pump_is_gt_one=True,
+        interpret=True, noise_scale=0.0, hp=hp,
+    )
+    np.testing.assert_allclose(c_pal, c_lax, atol=TOL)
+    np.testing.assert_allclose(s_pal, s_lax, atol=TOL)
