@@ -40,8 +40,13 @@ import numpy as np
 
 LANE = 128
 _SUBLANE = 8
-# Conservative VMEM budget for state + temporaries (bytes).
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Budget for state + temporaries (bytes) against the ~16 MB scoped-vmem
+# limit, with headroom for Mosaic's own stack allocations.
+_VMEM_BUDGET = 12 * 1024 * 1024
+# Per-row temporaries Mosaic materializes beyond the named state arrays
+# (measured: an MF tile of 2736 rows x 3 state arrays peaked at ~13.3
+# rows-worth of scoped vmem -> ~10 temporaries).
+_TEMP_ROWS = 10
 _TWO_PI = 6.283185307179586
 
 
@@ -95,7 +100,7 @@ def _seed_from_key(key):
 
 
 def _vmem_ok(tile: int, np_: int, n_state_arrays: int) -> bool:
-    state = tile * np_ * 4 * (n_state_arrays + 4)  # + temporaries
+    state = tile * np_ * 4 * (n_state_arrays + _TEMP_ROWS)
     fixed = np_ * np_ * 4 + 4 * np_
     return state + fixed <= _VMEM_BUDGET
 
@@ -109,7 +114,7 @@ def _tile_plan(batch: int, np_: int, n_state_arrays: int):
     """
     pb = _round_up(batch, _SUBLANE)
     fixed = np_ * np_ * 4 + 4 * np_
-    per_row = np_ * 4 * (n_state_arrays + 4)
+    per_row = np_ * 4 * (n_state_arrays + _TEMP_ROWS)
     max_t = max((_VMEM_BUDGET - fixed) // per_row // _SUBLANE * _SUBLANE,
                 _SUBLANE)
     if max_t >= pb:
@@ -203,6 +208,19 @@ def _normal_pair_popcount(shape):
 
 
 _RNG_NAMES = ("popcount32", "popcount", "box_muller")
+
+# Safety clamp for the kernels whose dynamics have no per-step box clamp
+# (DL quadratures, MF mu).  Their cubic/pump damping keeps trajectories at
+# O(S) in all physical parameter ranges, but an explicit Euler step that
+# ever crossed |c| ~ sqrt(2/dt) would overshoot sign-flipping with growing
+# magnitude and cascade to Inf within a few steps — and one Inf in a PADDING
+# lane (which has no restoring feedback of its own) would propagate NaN into
+# every real lane through the matvec (NaN * 0 = NaN).  One clip per step at
+# a bound far above any physical amplitude is ~1 VPU op against the step's
+# dozens, never binds for legitimate dynamics, and makes the failure mode
+# impossible (ADVICE round 2, pallas_kernels.py:213).
+_DL_SAFETY_BOUND = 1.0e3
+_MF_SAFETY_BOUND = 1.0e5
 
 
 def _noise_pair(shape, noise_scale, rng="popcount32"):
@@ -675,9 +693,12 @@ def _dl_kernel(
         s_drift = -fs_dyn * (fb_s + g3) + (-1.0 - pump * rate - c_pow - s_pow) * s
         w_c, w_s = _noise_pair((batch, np_), noise_scale, rng)
         diff = 2.0 * g * jnp.sqrt(c_pow + s_pow + 0.5)
+        bound = jnp.float32(_DL_SAFETY_BOUND)  # see _DL_SAFETY_BOUND
         return (
-            c + dt * c_drift + (diff * (sqrt_dt * nr_i)) * w_c,
-            s + dt * s_drift + (diff * (sqrt_dt / nr_i)) * w_s,
+            jnp.clip(c + dt * c_drift + (diff * (sqrt_dt * nr_i)) * w_c,
+                     -bound, bound),
+            jnp.clip(s + dt * s_drift + (diff * (sqrt_dt / nr_i)) * w_s,
+                     -bound, bound),
         )
 
     _run_unrolled(iterations, (c_ref, s_ref), step)
@@ -809,9 +830,12 @@ def _dl_adam_kernel(
         s_drift = (-1.0 - pump_rate - c_pow - s_pow) * s
         w_c, w_s = _noise_pair((batch, np_), noise_scale, rng)
         diff = 2.0 * g * jnp.sqrt(c_pow + s_pow + 0.5)
+        bound = jnp.float32(_DL_SAFETY_BOUND)  # see _DL_SAFETY_BOUND
         return (
-            c + dt * (c_drift + c_eff) + (diff * (sqrt_dt * nr_i)) * w_c,
-            s + dt * (s_drift + s_eff) + (diff * (sqrt_dt / nr_i)) * w_s,
+            jnp.clip(c + dt * (c_drift + c_eff)
+                     + (diff * (sqrt_dt * nr_i)) * w_c, -bound, bound),
+            jnp.clip(s + dt * (s_drift + s_eff)
+                     + (diff * (sqrt_dt / nr_i)) * w_s, -bound, bound),
             m_c, v_c, m_s, v_s,
         )
 
@@ -916,8 +940,9 @@ def _mf_kernel(
             + 2.0 * g_sq * mu_pow
         )
         mu_diffusion = jnp.sqrt(j_i) * (sigma - 0.5) * w_inc
+        bound = jnp.float32(_MF_SAFETY_BOUND)  # see _MF_SAFETY_BOUND
         return (
-            mu + dt * (drift_mu + mu_diffusion),
+            jnp.clip(mu + dt * (drift_mu + mu_diffusion), -bound, bound),
             mu_tilde,
             sigma + dt * drift_sigma,
         )

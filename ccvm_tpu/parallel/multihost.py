@@ -92,8 +92,11 @@ def run_resilient(items, fn, *, max_attempts=3, on_failure=None):
         items: iterable of hashable-by-index work items.
         fn: ``fn(item) -> result``; exceptions mark the attempt failed.
         max_attempts: attempts per item before it lands in ``failures``.
-        on_failure: optional ``on_failure(item, exc, attempt)`` callback
-            (logging/metrics).
+        on_failure: optional ``on_failure(item, exc, attempt)`` callback.
+            Returning ``False`` cancels further attempts for that item —
+            use it to classify deterministic failures (a shape-dependent
+            compile error, an OOM at a fixed batch) whose retries would
+            burn the tail of the sweep on guaranteed re-failures.
 
     Returns:
         (results, failures): ``results[i]`` is ``fn(items[i])`` for items that
@@ -107,13 +110,15 @@ def run_resilient(items, fn, *, max_attempts=3, on_failure=None):
         try:
             results[idx] = fn(item)
         except Exception as exc:  # noqa: BLE001 — any solve failure re-queues
-            if on_failure is not None:
-                on_failure(item, exc, attempt)
+            retry = True
+            if on_failure is not None and on_failure(item, exc, attempt) is False:
+                retry = False
             logger.warning(
-                "work item %d failed (attempt %d/%d): %s",
-                idx, attempt, max_attempts, exc,
+                "work item %d failed (attempt %d/%d%s): %s",
+                idx, attempt, max_attempts,
+                "" if retry else ", cancelled by on_failure", exc,
             )
-            if attempt < max_attempts:
+            if retry and attempt < max_attempts:
                 queue.append((idx, item, attempt + 1))
             else:
                 failures[idx] = exc

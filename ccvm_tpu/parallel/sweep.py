@@ -23,15 +23,17 @@ import numpy as np
 from ccvm_tpu.solution import Solution
 
 
-@jax.jit
-def _stacked_energy(confs, qs, vs, scaled_by):
-    """(I, B, n) configurations -> (I, B) objectives in one computation —
-    vmapped form of ``problem_instance._energy_kernel`` (0.5 xQx + Vx, scaled
-    per instance)."""
-    qx = jnp.einsum("ibj,ijk->ibk", confs, qs, preferred_element_type=confs.dtype)
-    e1 = jnp.sum(confs * qx, axis=-1)
-    e2 = jnp.einsum("ibj,ij->ib", confs, vs)
-    return (0.5 * e1 + e2) * scaled_by[:, None]
+def _readback(x):
+    """ONE device->host transfer of a sweep result.
+
+    When the mesh spans multiple processes the array's shards are not all
+    host-addressable and ``np.asarray`` raises, so gather across hosts first
+    (every host then builds identical Solutions; the coordinator writes)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
 
 
 def _stack_instances(solver, instances):
@@ -313,13 +315,18 @@ def sweep_solve(
     else:
         confs = problem_variables
 
-    # One stacked energy evaluation + ONE device->host readback for the whole
-    # sweep (a per-instance compute_energy/Solution loop costs one host<->
-    # device round trip PER INSTANCE — tens of ms each through a TPU tunnel).
-    scaled_by = jnp.asarray(
-        [np.float32(getattr(i, "scaled_by", 1.0)) for i in instances]
+    # ONE device->host readback for the whole sweep (a per-instance
+    # compute_energy/Solution loop costs one host<->device round trip PER
+    # INSTANCE — tens of ms each through a TPU tunnel), then float64 host
+    # energies: solution statistics need more than float32 precision near
+    # the 0.1% gap (see ProblemInstance.compute_energy_host64).
+    confs_np = _readback(confs)
+    objvals = np.stack(
+        [
+            inst.compute_energy_host64(confs_np[i])
+            for i, inst in enumerate(instances)
+        ]
     )
-    objvals = np.asarray(_stacked_energy(confs, qs, vs, scaled_by))
 
     # Per-instance Solutions; wall time attributed evenly across the sweep
     # then batch-normalized (reference solve-time semantics, dl_solver.py:933).

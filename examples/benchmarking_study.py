@@ -63,11 +63,17 @@ SOLVER_CLASSES = {
 MACHINES = {"dl": "dl-ccvm", "mf": "mf-ccvm", "langevin": "fpga", "pumped": "cpu"}
 
 
-def build_solver(name, device, batch_size, sizes, iterations, mesh=None):
+def build_solver(name, device, batch_size, sizes, iterations, mesh=None,
+                 tuned=None):
     solver = SOLVER_CLASSES[name](device=device, batch_size=batch_size, mesh=mesh)
-    params = dict(DEFAULTS[name])
-    params["iterations"] = iterations
-    solver.parameter_key = {size: dict(params) for size in sizes}
+    key = {}
+    for size in sizes:
+        params = dict(DEFAULTS[name])
+        params["iterations"] = iterations
+        if tuned:
+            params.update(tuned.get(name, {}).get(str(size), {}))
+        key[size] = params
+    solver.parameter_key = key
     return solver
 
 
@@ -90,6 +96,14 @@ def run_sweep(args):
     solver_names = [s.strip() for s in args.solvers.split(",") if s.strip()]
     os.makedirs(args.output_dir, exist_ok=True)
 
+    tuned = None
+    if args.params:
+        import json
+
+        with open(args.params) as f:
+            tuned = json.load(f)
+        print(f"using tuned parameters from {args.params}")
+
     summary = []
     for name in solver_names:
         # DL ships without post-processing (like the reference's own DL
@@ -100,8 +114,15 @@ def run_sweep(args):
         pp = args.post_processor or None
         if name == "dl" and args.post_processor == "grad-descent":
             pp = None
+            print(
+                "[dl] post-processor disabled (the reference DL readout "
+                "applies change_variables to post-processed output a second "
+                "time, dl_solver.py:941-958; pass --post-processor adam to "
+                "force one anyway)"
+            )
         solver = build_solver(
-            name, device, args.batch_size, sizes, args.iterations, mesh
+            name, device, args.batch_size, sizes, args.iterations, mesh,
+            tuned=tuned,
         )
         metadata = Metadata(device=device)
         for size in sizes:
@@ -239,4 +260,7 @@ if __name__ == "__main__":
                     help="vmap all instances of a size into one jit "
                          "(instance-sweep parallelism)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--params", default="",
+                    help="JSON file of tuned per-solver per-size parameters "
+                         "(see tools/tune_benchmark_set.py)")
     run_sweep(ap.parse_args())
