@@ -1,9 +1,18 @@
-"""Headline benchmark: DL-CCVM SDE throughput on one chip.
+"""Headline benchmark: DL-CCVM SDE throughput across problem sizes.
 
-Workload matches the reference's documented example (N=20 BoxQP, batch 1000,
-15000 Euler-Maruyama iterations — ``docs/source/dl_ccvm_sde.rst`` reports
-15.929 s for it).  We time a warm solve and report trajectory-iterations per
-second; ``vs_baseline`` is the speedup over the reference's published number.
+Headline workload is the BASELINE.json north star: N=70 BoxQP, batch 1000,
+15,000 Euler-Maruyama iterations on one chip, at demonstrated success
+probability (printed alongside).  A per-size (20..70) throughput table goes
+to stderr as comment lines.
+
+Baseline assumption (stated here because no reference-CUDA run is possible
+in this environment): the reference publishes no N=70 throughput at all; its
+only documented number for this workload family is 15.929 s for the N=20
+batch-1000 15k-iteration DL example (``docs/source/dl_ccvm_sde.rst``), i.e.
+941.6k trajectory-iterations/s.  ``vs_baseline`` divides our measured N=70
+rate by that documented N=20 rate — conservative, since the reference's
+per-iteration cost grows with N (the N x N matvec) while the divisor is its
+small-N rate.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -11,6 +20,7 @@ Prints exactly one JSON line:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -21,18 +31,32 @@ sys.path.insert(0, REPO)
 
 ITERATIONS = 15000
 BATCH = 1000
-BASELINE_WALL_S = 15.929  # reference docs example block (same workload)
+SIZES = (20, 30, 40, 50, 60, 70)
+HEADLINE_N = 70
+BASELINE_WALL_S = 15.929  # reference docs example block (N=20, same workload)
+BASELINE_RATE = ITERATIONS * BATCH / BASELINE_WALL_S  # 941.6k traj-iter/s
 
-# Prefer the reference's bundled single test instance (known optimum
-# 130.714187) so success fractions are comparable; fall back to our own
-# generated fixture when the reference checkout isn't present.
-_INSTANCE_CANDIDATES = [
-    "/root/reference/examples/benchmarking_instances/single_test_instance/"
-    "tuningH020-100-0.in",
-    os.path.join(REPO, "examples", "benchmarking_instances",
-                 "single_test_instance", "tuningH020-100-0.in"),
-    os.path.join(REPO, "tests", "data", "test020.in"),
-]
+INSTANCES_DIR = os.path.join(REPO, "examples", "benchmarking_instances")
+
+
+def _first_instance(size):
+    files = sorted(glob.glob(os.path.join(INSTANCES_DIR, f"Size{size}", "*.in")))
+    return files[0] if files else None
+
+
+def _tuned_params(size):
+    """Per-size DL parameters: tuned table when present, paper defaults
+    otherwise (iterations pinned to the benchmark workload)."""
+    params = {
+        "pump": 8.0, "feedback_scale": 100, "dt": 0.001, "noise_ratio": 10,
+    }
+    tuned_path = os.path.join(REPO, "examples", "tuned_parameters.json")
+    if os.path.exists(tuned_path):
+        with open(tuned_path) as f:
+            table = json.load(f).get("dl", {})
+        params.update(table.get(str(size), {}))
+    params["iterations"] = ITERATIONS
+    return params
 
 
 def main():
@@ -41,67 +65,73 @@ def main():
     from ccvm_tpu import DLSolver, ProblemInstance
     from ccvm_tpu.runtime import default_device, enable_compilation_cache
 
-    # Persistent compilation cache: the warm-up run pays compile once per
-    # machine instead of once per process.
     enable_compilation_cache()
-
     device = default_device()
-    instance_path = next(p for p in _INSTANCE_CANDIDATES if os.path.exists(p))
-    instance = ProblemInstance(
-        instance_type="test",
-        file_path=instance_path,
-        device=device,
-    )
-    # timing="async": the whole solve->readout pipeline runs with a single
-    # device sync (the work is identical; only an artificial mid-pipeline
-    # barrier is dropped — significant under high host<->device latency).
+    # timing="async": one device sync per solve (identical work; drops an
+    # artificial mid-pipeline barrier that costs a tunnel round trip).
     solver = DLSolver(device=device, batch_size=BATCH, timing="async")
-    solver.parameter_key = {
-        20: {
-            "pump": 8.0,
-            "feedback_scale": 100,
-            "dt": 0.001,
-            "iterations": ITERATIONS,
-            "noise_ratio": 10,
-        }
-    }
-    instance.scale_coefs(solver.get_scaling_factor(instance.q_matrix))
+    solver.parameter_key = {size: _tuned_params(size) for size in SIZES}
 
-    # Warm-up (compile)
-    solver(instance, seed=0)
+    rows = []
+    headline = None
+    for size in SIZES:
+        path = _first_instance(size)
+        if path is None:
+            continue
+        instance = ProblemInstance(
+            instance_type="tuning", file_path=path, device=device
+        )
+        instance.scale_coefs(solver.get_scaling_factor(instance.q_matrix))
+        solver(instance, seed=0)  # warm-up (compile)
+        # Best of 7: per-run wall includes one tunneled host<->device round
+        # trip whose latency jitters by tens of ms.
+        best_wall, solution = float("inf"), None
+        for rep in range(7):
+            t0 = time.perf_counter()
+            sol = solver(instance, seed=rep + 1)
+            wall = time.perf_counter() - t0
+            if wall < best_wall:
+                best_wall, solution = wall, sol
+        rate = ITERATIONS * BATCH / best_wall
+        rows.append((size, best_wall, rate, solution, path))
+        if size == HEADLINE_N:
+            headline = (rate, solution, path)
 
-    # Timed warm runs: best of 7.  Each run is a full honest solve
-    # (dispatch -> fused kernel -> readout sync); the per-run wall includes
-    # one host<->device round trip whose latency jitters by tens of ms on a
-    # tunneled TPU, so several reps are needed to sample the floor.
-    best_wall = float("inf")
-    for rep in range(7):
-        t0 = time.perf_counter()
-        solution = solver(instance, seed=rep + 1)
-        wall = time.perf_counter() - t0
-        best_wall = min(best_wall, wall)
+    if headline is None:  # fall back to the largest size present
+        size, best_wall, rate, solution, path = rows[-1]
+        headline = (rate, solution, path)
 
-    traj_iters_per_sec = ITERATIONS * BATCH / best_wall
-    baseline_rate = ITERATIONS * BATCH / BASELINE_WALL_S
+    rate, solution, path = headline
     print(
         json.dumps(
             {
-                "metric": "dl_ccvm_sde_throughput_n20_b1000_i15000",
-                "value": round(traj_iters_per_sec, 1),
+                "metric": f"dl_ccvm_sde_throughput_n{HEADLINE_N}_b{BATCH}"
+                          f"_i{ITERATIONS}",
+                "value": round(rate, 1),
                 "unit": "trajectory-iterations/s",
-                "vs_baseline": round(traj_iters_per_sec / baseline_rate, 2),
+                "vs_baseline": round(rate / BASELINE_RATE, 2),
             }
         )
     )
-    # Context lines on stderr (driver reads stdout's single JSON line)
+    # Context table on stderr (driver reads stdout's single JSON line).
     print(
-        f"# device={jax.devices()[0].device_kind} wall={best_wall:.4f}s"
-        f" instance={os.path.basename(instance_path)}"
-        f" best_objective={solution.best_objective_value:.4f}"
-        f" optimal={instance.optimal_sol}"
-        f" success={solution.solution_performance}",
+        f"# device={jax.devices()[0].device_kind}; baseline = reference's"
+        f" documented N=20 rate {BASELINE_RATE:.0f} traj-iter/s"
+        f" (docs/source/dl_ccvm_sde.rst 15.929 s; no N=70 or CUDA reference"
+        f" number exists)",
         file=sys.stderr,
     )
+    print("#  N    wall_s    traj-iter/s   P(0.1%)  P(1%)  best/optimal",
+          file=sys.stderr)
+    for size, wall, r, sol, p in rows:
+        perf = sol.solution_performance
+        print(
+            f"# {size:3d}  {wall:8.4f}  {r:12.0f}   {perf['optimal']:.3f}"
+            f"   {perf['one_percent']:.3f}  "
+            f"{sol.best_objective_value:.3f}/{sol.optimal_value:.3f}"
+            f"  ({os.path.basename(p)})",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
