@@ -120,10 +120,11 @@ def sweep_solve(
     from ccvm_tpu.post_processor.grad_descent import _gd_refine
 
     cls = solver.__class__.__name__
-    if post_processor not in (None, "grad-descent"):
+    if post_processor not in (None, "grad-descent", "adam", "asgd",
+                              "bfgs", "lbfgs"):
         raise ValueError(
-            "sweep_solve supports only the 'grad-descent' post-processor;"
-            f" got {post_processor!r}. Solve serially for the others."
+            f"sweep_solve does not know post-processor {post_processor!r};"
+            " expected one of grad-descent/adam/asgd/bfgs/lbfgs/None."
         )
 
     if scale:
@@ -289,16 +290,52 @@ def sweep_solve(
     pp_input = jax.block_until_ready(pp_input)
     solve_wall = time.time() - t0
 
-    # Post-processing: vmapped projected gradient descent (same defaults as
-    # PostProcessorGradDescent.postprocess -> 10 refinement iterations).
+    # Post-processing: the per-instance refinement cores of the serial
+    # post-processors, vmapped over the instance axis with each method's
+    # facade defaults (grad-descent: 10 steps at 0.1; adam/asgd: 1 scanned
+    # step; bfgs: 50 projected L-BFGS iterations with the reference's
+    # 0.5(c+1) / 2(x-0.5) in/out convention; lbfgs: 1 iteration).
     pp_wall = 0.0
-    if post_processor == "grad-descent":
+    if post_processor is not None:
+        if post_processor == "grad-descent":
+            def refine(c, q, v):
+                return _gd_refine(
+                    c, q, v, jnp.float32(lo), jnp.float32(hi),
+                    jnp.float32(0.1), 10,
+                )
+        elif post_processor == "adam":
+            from ccvm_tpu.post_processor.adam import _adam_refine
+
+            def refine(c, q, v):
+                return _adam_refine(
+                    c, q, v, jnp.float32(lo), jnp.float32(hi), 1
+                )
+        elif post_processor == "asgd":
+            from ccvm_tpu.post_processor.asgd import _asgd_refine
+
+            def refine(c, q, v):
+                return _asgd_refine(
+                    c, q, v, jnp.float32(lo), jnp.float32(hi), 1
+                )
+        elif post_processor == "bfgs":
+            from ccvm_tpu.ops.lbfgs import lbfgs_box_batch
+
+            def refine(c, q, v):
+                x = lbfgs_box_batch(
+                    0.5 * (c + 1.0), q, v, lower=0.0, upper=1.0, max_iter=50
+                )
+                return 2.0 * (x - 0.5)
+        else:  # lbfgs
+            from ccvm_tpu.ops.lbfgs import lbfgs_box_batch
+
+            def refine(c, q, v):
+                return lbfgs_box_batch(
+                    c, q, v, lower=jnp.float32(lo), upper=jnp.float32(hi),
+                    first_step_scale=0.001, max_iter=1,
+                )
+
         t1 = time.time()
-        problem_variables = jax.vmap(
-            lambda c, q, v: _gd_refine(
-                c, q, v, jnp.float32(lo), jnp.float32(hi), jnp.float32(0.1), 10
-            )
-        )(pp_input, qs, vs)
+        problem_variables = jax.vmap(refine)(pp_input, qs, vs)
         problem_variables = jax.block_until_ready(problem_variables)
         pp_wall = time.time() - t1
     elif needs_final_cv:
