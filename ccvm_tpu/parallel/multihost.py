@@ -49,8 +49,16 @@ def initialize(
             jax.device_count(),
         )
     except (RuntimeError, ValueError) as e:
-        # Single-process runs (tests, one-chip benches) land here when no
-        # coordinator is configured — that is fine.
+        if coordinator_address is not None or num_processes is not None:
+            # The caller explicitly configured a pod run; degrading to one
+            # host here would silently compute 1/N of the sweep.
+            raise RuntimeError(
+                "jax.distributed.initialize failed for the explicitly "
+                f"configured pod run (coordinator={coordinator_address!r}, "
+                f"num_processes={num_processes!r}): {e}"
+            ) from e
+        # Auto-detect found no pod environment: single-process runs (tests,
+        # one-chip benches) land here and that is fine.
         logger.info("jax.distributed not initialized (%s); single-process run", e)
 
 
