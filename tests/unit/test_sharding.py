@@ -230,6 +230,31 @@ def test_mf_tp_statistics_match_single_device():
     assert np.all(np.abs(m_tp - m_sd) < 6 * s_pool + 1e-3)
 
 
+def test_langevin_tp_adam_noise_free_matches_single_device():
+    """The TP engine's Adam path (moments sharded like the state) must
+    agree with the single-device Adam solve when noise is off."""
+    from ccvm_tpu.dynamics import langevin as dyn
+    from ccvm_tpu.dynamics.common import AdamHyperparameters
+    from ccvm_tpu.dynamics.langevin import LangevinParams
+    from ccvm_tpu.parallel import langevin_solve
+
+    q, v = _rand_problem(seed=4)
+    hp = AdamHyperparameters(alpha=0.1, beta1=0.9, beta2=0.99,
+                             add_assign=False)
+    p = LangevinParams(
+        S=np.float32(0.5), dt=np.float32(0.002), sigma=np.float32(0.0),
+        feedback_scale=np.float32(1.0), lower_limit=np.float32(0),
+        upper_limit=np.float32(1),
+    )
+    key = jax.random.PRNGKey(5)
+    c_tp = langevin_solve(
+        _mesh2d(), key, q, v, p, iterations=120, batch_size=32, hp=hp
+    )
+    c_sd = dyn.solve(key, q, v, p, iterations=120, batch_size=32, hp=hp)
+    np.testing.assert_allclose(np.asarray(c_tp), np.asarray(c_sd),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_facade_routes_tensor_parallel_mesh():
     """CCVMSolver(mesh=(batch, model)) must reach the TP engine and produce a
     valid Solution (VERDICT round 2, item 5)."""
