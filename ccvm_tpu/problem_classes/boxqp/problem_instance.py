@@ -238,10 +238,9 @@ class ProblemInstance:
             q = np.asarray(self.q_matrix, np.float64)
             v = np.asarray(self.v_vector, np.float64)
             scale = float(self.scaled_by)
-        qx = np.einsum("...i,ij->...j", x, q)
-        e = 0.5 * np.einsum("...i,...i->...", x, qx) + np.einsum(
-            "...i,i->...", x, v
-        )
+        # Plain @ hits BLAS dgemm; einsum would take the slow C loop path.
+        qx = x @ q
+        e = 0.5 * np.sum(x * qx, axis=-1) + x @ v
         return e * scale
 
     def scale_coefs(self, scaling_factor):
