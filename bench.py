@@ -1,9 +1,10 @@
 """Headline benchmark: DL-CCVM SDE throughput across problem sizes.
 
-Headline workload is the BASELINE.json north star: N=70 BoxQP, batch 1000,
-15,000 Euler-Maruyama iterations on one chip, at demonstrated success
-probability (printed alongside).  A per-size (20..70) throughput table goes
-to stderr as comment lines.
+Headline workload is the BASELINE.json north star: N=70 BoxQP, 15,000
+Euler-Maruyama iterations on one chip at the throughput-optimal trajectory
+batch (65536), at demonstrated success probability (printed alongside).  A
+per-size (20..70) table at the reference example's batch 1000 goes to
+stderr as comment lines.
 
 Baseline assumption (stated here because no reference-CUDA run is possible
 in this environment): the reference publishes no N=70 throughput at all; its
