@@ -31,10 +31,11 @@ def initialize(
     computation in every host process.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     try:
+        # NOTE: must run before anything initializes the XLA backend — even
+        # jax.process_count() counts, so no backend queries happen first.
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -49,6 +50,10 @@ def initialize(
             jax.device_count(),
         )
     except (RuntimeError, ValueError) as e:
+        if "must be called before" in str(e) and jax.process_count() > 1:
+            # Already initialized by the launcher — idempotent success.
+            _initialized = True
+            return
         if coordinator_address is not None or num_processes is not None:
             # The caller explicitly configured a pod run; degrading to one
             # host here would silently compute 1/N of the sweep.
