@@ -171,7 +171,7 @@ class LangevinSolver(CCVMSolver):
         else:
             self._validate_fpga_machine_parameters(machine_parameters)
 
-        def _fpga_machine_energy_callable(matching_df: DataFrame, problem_size: int):
+        def _fpga_machine_energy_callable(dataframe: DataFrame, problem_size: int):
             machine_time = machine_parameters["fpga_runtimes"][problem_size]
             machine_power = machine_parameters["fpga_power"][problem_size]
             return machine_power * machine_time

@@ -61,6 +61,9 @@ SOLVER_CLASSES = {
 }
 
 MACHINES = {"dl": "dl-ccvm", "mf": "mf-ccvm", "langevin": "fpga", "pumped": "cpu"}
+# Energy models for the ETS plots (same per-solver machines; pumped has no
+# solver-specific hardware model in the reference, so it reports CPU energy).
+ENERGY_MACHINES = dict(MACHINES)
 
 
 def build_solver(name, device, batch_size, sizes, iterations, mesh=None,
@@ -233,6 +236,20 @@ def run_sweep(args):
                 print(f"[{name}] success-prob plot -> {plot_path}")
             except ValueError as e:
                 print(f"[{name}] success-prob plot skipped: {e}")
+            try:
+                fig, ax = ccvmplotlib.plot_ETS(
+                    metadata_filepath=metadata_path,
+                    problem="BoxQP",
+                    machine_energy_func=solver.machine_energy(
+                        machine=ENERGY_MACHINES[name]
+                    ),
+                )
+                ccvmplotlib.apply_default_ets_styling(fig, ax)
+                plot_path = os.path.join(args.output_dir, f"{name}_ETS.png")
+                fig.savefig(plot_path)
+                print(f"[{name}] ETS plot -> {plot_path}")
+            except ValueError as e:
+                print(f"[{name}] ETS plot skipped: {e}")
 
     print("\n=== Sweep summary ===")
     print(f"{'solver':<10}{'size':>6}{'n':>5}{'P(optimal)':>12}{'wall_s':>9}")
