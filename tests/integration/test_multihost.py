@@ -10,14 +10,11 @@ import os
 import subprocess
 import sys
 
-import pytest
-
 TOOL = os.path.join(
     os.path.dirname(__file__), "..", "..", "tools", "multihost_smoke.py"
 )
 
 
-@pytest.mark.timeout(600)
 def test_two_process_distributed_smoke():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers use one real CPU device each
