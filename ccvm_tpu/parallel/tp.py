@@ -141,154 +141,136 @@ def _replicate_inputs(mesh, key, q, v, params):
 # --------------------------------------------------------------------------
 # Family entry points — signatures and return values mirror each
 # ``ccvm_tpu.dynamics.<family>.solve`` so the façades can swap them in.
+# One spec per family: how to build its step closure, its scan carry, and
+# its readout; the engine machinery is shared.
 # --------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=64)
-def _langevin_engine(mesh, n, iterations, batch_size, hp):
-    def engine(key, q, v, params):
-        def body_step(q_rows, v_local, mv):
-            if hp is None:
-                return dyn_langevin.make_step(q_rows, v_local, params, mv)
-            return dyn_langevin.make_adam_step(q_rows, v_local, params, hp, mv)
+def _moment_zeros(base, hp, extra):
+    """Append ``extra`` zero moment arrays per state array when hp is set."""
+    if hp is None:
+        return base
+    proto = base[0] if isinstance(base, tuple) else base
+    pads = tuple(jnp.zeros_like(proto) for _ in range(extra))
+    return (base if isinstance(base, tuple) else (base,)) + pads
 
-        init = (
-            (lambda b, nl: _zeros(b, nl)) if hp is None
-            else (lambda b, nl: (_zeros(b, nl), _zeros(b, nl), _zeros(b, nl)))
-        )
-        read = (lambda st: st) if hp is None else (lambda st: st[0])
+
+_FAMILIES = {
+    "langevin": dict(
+        step=lambda q, v, p, flags, hp, mv: (
+            dyn_langevin.make_step(q, v, p, mv) if hp is None
+            else dyn_langevin.make_adam_step(q, v, p, hp, mv)
+        ),
+        init=lambda b, nl, hp: _moment_zeros(_zeros(b, nl), hp, 2),
+        read=lambda st, p, hp: st if hp is None else st[0],
+    ),
+    "pumped": dict(
+        step=lambda q, v, p, flags, hp, mv: (
+            dyn_pumped.make_step(q, v, p, flags["pump_rate_flag"], mv)
+            if hp is None
+            else dyn_pumped.make_adam_step(
+                q, v, p, flags["pump_rate_flag"], hp, mv
+            )
+        ),
+        init=lambda b, nl, hp: _moment_zeros(_zeros(b, nl), hp, 2),
+        read=lambda st, p, hp: st if hp is None else st[0],
+    ),
+    "dl": dict(
+        step=lambda q, v, p, flags, hp, mv: (
+            dyn_dl.make_step(
+                q, v, p, flags["pump_rate_flag"], flags["pump_is_gt_one"], mv
+            )
+            if hp is None
+            else dyn_dl.make_adam_step(
+                q, v, p, flags["pump_rate_flag"], flags["pump_is_gt_one"],
+                hp, mv,
+            )
+        ),
+        init=lambda b, nl, hp: _moment_zeros(
+            (_zeros(b, nl), _zeros(b, nl)), hp, 4
+        ),
+        read=lambda st, p, hp: (jnp.clip(st[0], -p.S, p.S), st[1]),
+    ),
+    "mf": dict(
+        step=lambda q, v, p, flags, hp, mv: (
+            dyn_mf.make_step(q, v, p, flags["pump_rate_flag"], mv)
+            if hp is None
+            else dyn_mf.make_adam_step(
+                q, v, p, flags["pump_rate_flag"], hp, mv
+            )
+        ),
+        init=lambda b, nl, hp: _moment_zeros(
+            (_zeros(b, nl), jnp.full((b, nl), 0.5, jnp.float32),
+             _zeros(b, nl)),
+            hp, 2,
+        ),
+        read=lambda st, p, hp: (
+            st[0], jnp.clip(st[2], -p.S, p.S), st[1]
+        ),
+    ),
+}
+
+
+@functools.lru_cache(maxsize=64)
+def _family_engine(family, mesh, n, iterations, batch_size, hp, flags):
+    spec = _FAMILIES[family]
+    flags = dict(flags)
+
+    def engine(key, q, v, params):
         return _make_engine(
             mesh, iterations=iterations, batch_size=batch_size, n=n,
-            build_step=body_step, build_init=init, readout=read,
+            build_step=lambda qr, vl, mv: spec["step"](
+                qr, vl, params, flags, hp, mv
+            ),
+            build_init=lambda b, nl: spec["init"](b, nl, hp),
+            readout=lambda st: spec["read"](st, params, hp),
         )(key, q, v, params)
 
     return jax.jit(engine)
+
+
+def _run_family(family, mesh, key, q, v, params, iterations, batch_size, hp,
+                **flags):
+    _require_scalar_s(params)
+    key, q, v, params = _replicate_inputs(mesh, key, q, v, params)
+    return _family_engine(
+        family, mesh, q.shape[0], iterations, batch_size, hp,
+        tuple(sorted(flags.items())),
+    )(key, q, v, params)
 
 
 def langevin_solve(mesh, key, q, v, params, *, iterations, batch_size, hp=None):
     """Mesh-sharded Langevin solve; same contract as dynamics.langevin.solve."""
-    _require_scalar_s(params)
-    key, q, v, params = _replicate_inputs(mesh, key, q, v, params)
-    return _langevin_engine(mesh, q.shape[0], iterations, batch_size, hp)(
-        key, q, v, params
+    return _run_family(
+        "langevin", mesh, key, q, v, params, iterations, batch_size, hp
     )
-
-
-@functools.lru_cache(maxsize=64)
-def _pumped_engine(mesh, n, iterations, batch_size, pump_rate_flag, hp):
-    def engine(key, q, v, params):
-        def body_step(q_rows, v_local, mv):
-            if hp is None:
-                return dyn_pumped.make_step(
-                    q_rows, v_local, params, pump_rate_flag, mv
-                )
-            return dyn_pumped.make_adam_step(
-                q_rows, v_local, params, pump_rate_flag, hp, mv
-            )
-
-        init = (
-            (lambda b, nl: _zeros(b, nl)) if hp is None
-            else (lambda b, nl: (_zeros(b, nl), _zeros(b, nl), _zeros(b, nl)))
-        )
-        read = (lambda st: st) if hp is None else (lambda st: st[0])
-        return _make_engine(
-            mesh, iterations=iterations, batch_size=batch_size, n=n,
-            build_step=body_step, build_init=init, readout=read,
-        )(key, q, v, params)
-
-    return jax.jit(engine)
 
 
 def pumped_langevin_solve(mesh, key, q, v, params, *, iterations, batch_size,
                           pump_rate_flag=True, hp=None):
     """Mesh-sharded pumped-Langevin solve (contract of dynamics.pumped.solve)."""
-    _require_scalar_s(params)
-    key, q, v, params = _replicate_inputs(mesh, key, q, v, params)
-    return _pumped_engine(
-        mesh, q.shape[0], iterations, batch_size, pump_rate_flag, hp
-    )(key, q, v, params)
-
-
-@functools.lru_cache(maxsize=64)
-def _dl_engine(mesh, n, iterations, batch_size, pump_rate_flag,
-               pump_is_gt_one, hp):
-    def engine(key, q, v, params):
-        def body_step(q_rows, v_local, mv):
-            if hp is None:
-                return dyn_dl.make_step(
-                    q_rows, v_local, params, pump_rate_flag, pump_is_gt_one, mv
-                )
-            return dyn_dl.make_adam_step(
-                q_rows, v_local, params, pump_rate_flag, pump_is_gt_one, hp, mv
-            )
-
-        if hp is None:
-            init = lambda b, nl: (_zeros(b, nl), _zeros(b, nl))  # noqa: E731
-        else:
-            init = lambda b, nl: tuple(_zeros(b, nl) for _ in range(6))  # noqa: E731
-
-        def read(state):
-            c, s = state[0], state[1]
-            return jnp.clip(c, -params.S, params.S), s
-
-        return _make_engine(
-            mesh, iterations=iterations, batch_size=batch_size, n=n,
-            build_step=body_step, build_init=init, readout=read,
-        )(key, q, v, params)
-
-    return jax.jit(engine)
+    return _run_family(
+        "pumped", mesh, key, q, v, params, iterations, batch_size, hp,
+        pump_rate_flag=pump_rate_flag,
+    )
 
 
 def dl_solve(mesh, key, q, v, params, *, iterations, batch_size,
              pump_rate_flag=True, pump_is_gt_one=False, hp=None):
     """Mesh-sharded DL-CCVM solve -> (c, s), c clamped (dynamics.dl.solve)."""
-    _require_scalar_s(params)
-    key, q, v, params = _replicate_inputs(mesh, key, q, v, params)
-    return _dl_engine(
-        mesh, q.shape[0], iterations, batch_size, pump_rate_flag,
-        pump_is_gt_one, hp,
-    )(key, q, v, params)
-
-
-@functools.lru_cache(maxsize=64)
-def _mf_engine(mesh, n, iterations, batch_size, pump_rate_flag, hp):
-    def engine(key, q, v, params):
-        def body_step(q_rows, v_local, mv):
-            if hp is None:
-                return dyn_mf.make_step(
-                    q_rows, v_local, params, pump_rate_flag, mv
-                )
-            return dyn_mf.make_adam_step(
-                q_rows, v_local, params, pump_rate_flag, hp, mv
-            )
-
-        def init(b, nl):
-            mu0 = _zeros(b, nl)
-            sigma0 = jnp.full_like(mu0, 0.5)
-            if hp is None:
-                return (mu0, sigma0, _zeros(b, nl))
-            return (mu0, sigma0, _zeros(b, nl), _zeros(b, nl), _zeros(b, nl))
-
-        def read(state):
-            mu, sigma, mu_tilde = state[0], state[1], state[2]
-            return mu, jnp.clip(mu_tilde, -params.S, params.S), sigma
-
-        return _make_engine(
-            mesh, iterations=iterations, batch_size=batch_size, n=n,
-            build_step=body_step, build_init=init, readout=read,
-        )(key, q, v, params)
-
-    return jax.jit(engine)
+    return _run_family(
+        "dl", mesh, key, q, v, params, iterations, batch_size, hp,
+        pump_rate_flag=pump_rate_flag, pump_is_gt_one=pump_is_gt_one,
+    )
 
 
 def mf_solve(mesh, key, q, v, params, *, iterations, batch_size,
              pump_rate_flag=True, hp=None):
     """Mesh-sharded MF-CCVM solve -> (mu, mu_tilde_clamped, sigma)."""
-    _require_scalar_s(params)
-    key, q, v, params = _replicate_inputs(mesh, key, q, v, params)
-    return _mf_engine(
-        mesh, q.shape[0], iterations, batch_size, pump_rate_flag, hp
-    )(key, q, v, params)
+    return _run_family(
+        "mf", mesh, key, q, v, params, iterations, batch_size, hp,
+        pump_rate_flag=pump_rate_flag,
+    )
 
 
 # --------------------------------------------------------------------------
