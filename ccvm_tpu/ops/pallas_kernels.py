@@ -359,6 +359,21 @@ def _matvec(x, q_ref):
     return jnp.dot(x, q_ref[:], preferred_element_type=jnp.float32)
 
 
+def _beta_pow(beta: float, fi):
+    """beta ** (fi + 1) for a STATIC beta in (0, 1] and a traced float step.
+
+    Mosaic cannot legalize ``math.powf`` with a traced exponent, so the
+    power is computed as ``exp((fi + 1) * log(beta))`` with the log folded
+    at trace time (exp is a supported VPU transcendental — the noise-ratio
+    and measurement-strength schedules already use it).
+    """
+    import math
+
+    if beta >= 1.0:
+        return jnp.float32(1.0)
+    return jnp.exp((fi + 1.0) * jnp.float32(math.log(beta)))
+
+
 def _adam_update(grads, m, v, fi, hp):
     """In-kernel Adam moment filtering; matches
     :func:`ccvm_tpu.dynamics.common.adam_moment_update` exactly (static hp:
@@ -366,10 +381,10 @@ def _adam_update(grads, m, v, fi, hp):
     gradient back — reference ``dl_solver.py:644-686``)."""
     eps = jnp.float32(1e-8)
     m = hp.beta1 * m + (1.0 - hp.beta1) * grads
-    mhat = m / (1.0 - jnp.power(jnp.float32(hp.beta1), fi + 1.0))
+    mhat = m / (1.0 - _beta_pow(hp.beta1, fi))
     if hp.beta2 != 1.0:
         v = hp.beta2 * v + (1.0 - hp.beta2) * jnp.square(grads)
-        vhat = v / (1.0 - jnp.power(jnp.float32(hp.beta2), fi + 1.0))
+        vhat = v / (1.0 - _beta_pow(hp.beta2, fi))
         update = hp.alpha * mhat / (jnp.sqrt(vhat) + eps)
     else:
         update = hp.alpha * mhat
