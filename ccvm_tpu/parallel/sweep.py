@@ -170,7 +170,7 @@ def sweep_solve(
         )
         raw = None
         if use_pallas:
-            from ccvm_tpu.ops import kernels
+            from ccvm_tpu.ops import pallas_kernels as kernels
 
             raw = kernels.langevin_solve(
                 keys[0], qs, vs, params,
@@ -198,7 +198,7 @@ def sweep_solve(
         )
         raw = None
         if use_pallas:
-            from ccvm_tpu.ops import kernels
+            from ccvm_tpu.ops import pallas_kernels as kernels
 
             raw = kernels.pumped_langevin_solve(
                 keys[0], qs, vs, params,
@@ -229,7 +229,7 @@ def sweep_solve(
         )
         out = None
         if use_pallas:
-            from ccvm_tpu.ops import kernels
+            from ccvm_tpu.ops import pallas_kernels as kernels
 
             out = kernels.dl_solve(
                 keys[0], qs, vs, params,
@@ -263,7 +263,7 @@ def sweep_solve(
         )
         out = None
         if use_pallas:
-            from ccvm_tpu.ops import kernels
+            from ccvm_tpu.ops import pallas_kernels as kernels
 
             out = kernels.mf_solve(
                 keys[0], qs, vs, params,

@@ -247,7 +247,7 @@ class DLSolver(CCVMSolver):
             # moment arrays in VMEM scratch), so Adam solves stay fused.
             if self._use_pallas(evolution_step_size, params.S, hp,
                                 hp_in_kernel=True):
-                from ccvm_tpu.ops import kernels
+                from ccvm_tpu.ops import pallas_kernels as kernels
 
                 out = kernels.dl_solve(
                     key, self.q_matrix, self.v_vector, params,

@@ -1,6 +1,6 @@
 """Langevin solver façade (API parity with
 ``ccvm_simulators/solvers/langevin_solver.py``; compute in
-:mod:`ccvm_tpu.dynamics.langevin` / :mod:`ccvm_tpu.ops.kernels`).
+:mod:`ccvm_tpu.dynamics.langevin` / :mod:`ccvm_tpu.ops.pallas_kernels`).
 """
 
 from __future__ import annotations
@@ -229,7 +229,7 @@ class LangevinSolver(CCVMSolver):
             # (moments in VMEM scratch), so Adam solves stay on the fast path.
             if self._use_pallas(evolution_step_size, params.S, hp,
                                 hp_in_kernel=True):
-                from ccvm_tpu.ops import kernels
+                from ccvm_tpu.ops import pallas_kernels as kernels
 
                 c = kernels.langevin_solve(
                     key, self.q_matrix, self.v_vector, params,

@@ -255,7 +255,7 @@ class MFSolver(CCVMSolver):
     ):
         if not evolution_step_size:
             if self._use_pallas(evolution_step_size, params.S, hp):
-                from ccvm_tpu.ops import kernels
+                from ccvm_tpu.ops import pallas_kernels as kernels
 
                 out = kernels.mf_solve(
                     key, self.q_matrix, self.v_vector, params,

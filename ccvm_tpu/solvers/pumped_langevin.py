@@ -125,7 +125,7 @@ class PumpedLangevinSolver(CCVMSolver):
     def _solve(self, key, params, iterations, pump_rate_flag, evolution_step_size, hp=None):
         if not evolution_step_size:
             if self._use_pallas(evolution_step_size, params.S, hp):
-                from ccvm_tpu.ops import kernels
+                from ccvm_tpu.ops import pallas_kernels as kernels
 
                 c = kernels.pumped_langevin_solve(
                     key, self.q_matrix, self.v_vector, params,
