@@ -103,12 +103,14 @@ def main(instance_dir="examples/benchmarking_instances",
             insts, post_processor=POST[name], parameter_ranges=GRIDS[name],
             tuning_batch_size=tuning_batch_size, seed=7,
         )
-        out[name] = {
+        # Merge per size so a partial (subset-of-sizes) tuning run refines
+        # the existing table instead of replacing it.
+        out.setdefault(name, {}).update({
             str(size): {
                 k: v for k, v in params.items() if k != "iterations"
             }
             for size, params in best.items()
-        }
+        })
         print(f"{name}: {json.dumps(out[name])}")
         with open(out_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
