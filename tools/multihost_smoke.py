@@ -41,7 +41,9 @@ def worker(process_id: int) -> None:
     lo, hi = multihost.local_shard_bounds(5)
     assert (hi - lo) in (2, 3), (lo, hi)
 
-    # Tiny batch-sharded solve over the global mesh.
+    # Batch-sharded solve over the global mesh — the BASELINE.json pod
+    # config in miniature: an N=70 dense BoxQP with the trajectory batch
+    # sharded across both hosts (fewer iterations; this is a CPU smoke).
     import jax.numpy as jnp
     import numpy as np
 
@@ -51,8 +53,8 @@ def worker(process_id: int) -> None:
 
     mesh = multihost.global_batch_mesh()
     rng = np.random.RandomState(0)
-    n = 8
-    q = rng.normal(0, 10, (n, n))
+    n = 70
+    q = rng.normal(0, 28.7 / np.sqrt(n), (n, n))
     q = (q + q.T) / 2
     v = rng.normal(0, 21, n)
     params = LangevinParams(
@@ -67,9 +69,17 @@ def worker(process_id: int) -> None:
     )
     with mesh:
         c = dyn.solve(
-            key, qj, vj, params, iterations=100, batch_size=16,
+            key, qj, vj, params, iterations=50, batch_size=1024,
             shard=NamedSharding(mesh, P("batch", None)),
         )
+        # Global best-objective reduction over the cross-host sharded batch
+        # (XLA inserts the collective from the sharding).
+        x = (c + params.S) / (2 * params.S)
+        qx = jnp.einsum("bi,ij->bj", x, qj)
+        objval = 0.5 * jnp.sum(x * qx, axis=-1) + x @ vj
+        best = jnp.max(objval)
+    best = float(best)
+    assert np.isfinite(best)
     # Per-host summary over addressable shards + cross-host gather; also the
     # tiled full-array gather the sweep readback uses.
     from jax.experimental import multihost_utils
@@ -81,7 +91,10 @@ def worker(process_id: int) -> None:
     gathered = multihost_utils.process_allgather(local_best)
     assert np.isfinite(np.asarray(gathered)).all()
     c_full = multihost_utils.process_allgather(c, tiled=True)
-    assert np.asarray(c_full).shape == (16, n)
+    assert np.asarray(c_full).shape == (1024, n)
+    # Every host computed the identical global best.
+    bests = multihost_utils.process_allgather(best)
+    assert np.allclose(np.asarray(bests), best)
     if multihost.is_coordinator():
         print(f"coordinator OK: gathered {np.asarray(gathered)}")
     print(f"process {process_id} OK")
