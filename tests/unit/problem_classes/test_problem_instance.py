@@ -114,3 +114,55 @@ class TestSolutionBounds:
     def test_min_ge_max(self):
         with pytest.raises(ValueError, match="less than maximum"):
             ProblemInstance(file_path=TEST002, solution_bounds=(1.0, 0.0))
+
+
+class TestHostFloat64Energy:
+    """compute_energy_host64 — the readout-precision path (round 3)."""
+
+    def _inst(self):
+        import os
+        from ccvm_tpu import ProblemInstance
+
+        data = os.path.join(
+            os.path.dirname(__file__), "..", "..", "data", "test020.in"
+        )
+        return ProblemInstance(
+            instance_type="test", file_path=data, device="cpu"
+        )
+
+    def test_matches_device_energy_to_f32_tolerance(self):
+        import numpy as np
+
+        inst = self._inst()
+        rng = np.random.RandomState(0)
+        x = rng.uniform(0, 1, (8, inst.problem_size)).astype(np.float32)
+        e32 = np.asarray(inst.compute_energy(x))
+        e64 = inst.compute_energy_host64(x)
+        assert e64.dtype == np.float64
+        np.testing.assert_allclose(e64, e32, rtol=2e-4, atol=1e-3)
+
+    def test_independent_of_scaling(self):
+        """The f64 path evaluates ORIGINAL coefficients, so scaling the
+        instance must not change its values (compute_energy's scaled_by
+        round trip holds only to f32 precision)."""
+        import numpy as np
+
+        inst = self._inst()
+        rng = np.random.RandomState(1)
+        x = rng.uniform(0, 1, (4, inst.problem_size))
+        before = inst.compute_energy_host64(x)
+        inst.scale_coefs(3.7)
+        after = inst.compute_energy_host64(x)
+        np.testing.assert_array_equal(before, after)
+
+    def test_leading_batch_dims(self):
+        import numpy as np
+
+        inst = self._inst()
+        rng = np.random.RandomState(2)
+        x = rng.uniform(0, 1, (3, 5, inst.problem_size))
+        e = inst.compute_energy_host64(x)
+        assert e.shape == (3, 5)
+        np.testing.assert_allclose(
+            e[1], inst.compute_energy_host64(x[1]), rtol=1e-12
+        )
