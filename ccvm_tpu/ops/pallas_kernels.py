@@ -93,10 +93,20 @@ def _pad_problem(q_matrix, v_vector):
 
 
 def _seed_from_key(key):
-    """Derive an int32 kernel seed from a JAX PRNG key (shape (1, 1))."""
-    return jax.random.randint(
-        key, (1, 1), minval=0, maxval=np.int32(2**31 - 1), dtype=jnp.int32
+    """Derive int32 kernel seeds from JAX PRNG key(s).
+
+    A single key (shape ``(2,)``) maps to a ``(1, 1)`` seed; stacked
+    per-instance keys (shape ``(I, 2)``, from :func:`sweep_solve`'s
+    ``PRNGKey(seed + i)``) map to ``(I, 1)`` — instance ``i``'s grid row
+    reads seed ``i``, so its hardware-PRNG streams are bit-identical to a
+    serial kernel solve of that instance with ``PRNGKey(seed + i)``."""
+    one = functools.partial(
+        jax.random.randint,
+        shape=(1,), minval=0, maxval=np.int32(2**31 - 1), dtype=jnp.int32,
     )
+    if key.ndim == 2:
+        return jax.vmap(one)(key)
+    return one(key)[None]
 
 
 def _vmem_ok(tile: int, np_: int, n_state_arrays: int) -> bool:
@@ -299,15 +309,18 @@ def _run_unrolled(iterations, refs, step, unroll=_UNROLL):
 def _maybe_seed(seed_ref, noise_scale):
     """Seed the hardware PRNG with an independent stream per grid program.
 
-    The grid is always 2-D ``(instance, batch_tile)``; the flattened program
-    id keeps streams distinct across both axes."""
+    The grid is always 2-D ``(instance, batch_tile)``.  The whole ``(I, 1)``
+    per-instance seed array sits in SMEM (Mosaic requires an SMEM block to
+    equal the array's shape here) and is indexed by the instance program id;
+    only the batch-tile id is folded in — a stacked sweep's instance ``i``
+    then runs the exact streams of a serial solve of that instance (same
+    seed, same tile ids)."""
     if noise_scale == 0.0:
         return
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0, 0] + pid)
+    pltpu.prng_seed(seed_ref[pl.program_id(0), 0] + pl.program_id(1))
 
 
 def _col_mask(batch, np_, n):
@@ -316,12 +329,25 @@ def _col_mask(batch, np_, n):
     return (cols < n).astype(jnp.float32)
 
 
-def _in_specs(pl, pltpu, params_shape, np_):
-    """Input specs shared by all kernels: seed + params in SMEM, Q and V in
+def _seeds_for(key, num_instances):
+    """Per-instance ``(I, 1)`` kernel seeds.  Stacked keys pass through
+    :func:`_seed_from_key`; a single key for a stacked call is split first so
+    every instance still gets an independent stream."""
+    if key.ndim == 1 and num_instances > 1:
+        key = jax.random.split(key, num_instances)
+    return _seed_from_key(key)
+
+
+def _in_specs(pl, pltpu, params_shape, np_, num_instances=1):
+    """Input specs shared by all kernels: seeds + params in SMEM, Q and V in
     VMEM.  Q/V index by the instance grid axis only, so they are fetched once
-    per instance and stay VMEM-resident across the batch-tile axis."""
+    per instance and stay VMEM-resident across the batch-tile axis.  The
+    whole per-instance seed array maps into SMEM; :func:`_maybe_seed`
+    indexes it by the instance program id."""
     return [
-        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (num_instances, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+        ),
         pl.BlockSpec(params_shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((np_, np_), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -472,10 +498,10 @@ def _langevin_call(
         kernel,
         grid=(num_instances, k),
         out_shape=jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
-        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_, num_instances),
         out_specs=_out_spec(pl, pltpu, tile, np_, k),
         interpret=interpret,
-    )(_seed_from_key(key), params_vec, q, v)
+    )(_seeds_for(key, num_instances), params_vec, q, v)
     return _unstack(c, stacked, num_instances, pb, batch_size, n, pack)
 
 
@@ -574,11 +600,11 @@ def _langevin_adam_call(
         kernel,
         grid=(num_instances, k),
         out_shape=jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
-        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_, num_instances),
         out_specs=_out_spec(pl, pltpu, tile, np_, k),
         scratch_shapes=[scratch, scratch],
         interpret=interpret,
-    )(_seed_from_key(key), params_vec, q, v)
+    )(_seeds_for(key, num_instances), params_vec, q, v)
     return _unstack(c, stacked, num_instances, pb, batch_size, n, pack)
 
 
@@ -648,17 +674,20 @@ def _pumped_langevin_call(
         kernel,
         grid=(num_instances, k),
         out_shape=jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
-        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_, num_instances),
         out_specs=_out_spec(pl, pltpu, tile, np_, k),
         interpret=interpret,
-    )(_seed_from_key(key), params_vec, q, v)
+    )(_seeds_for(key, num_instances), params_vec, q, v)
     return _unstack(c, stacked, num_instances, pb, batch_size, n, pack)
 
 
 def pumped_langevin_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
     pump_rate_flag, interpret=False, noise_scale=1.0, rng="popcount32",
+    hp=None,
 ):
+    """Fused pumped-Langevin solve; ``hp`` (AdamHyperparameters) selects the
+    fused Adam-in-loop variant with the moment arrays in VMEM scratch."""
     if np.ndim(params.S) != 0:
         return None
     params_vec = np.array(
@@ -674,12 +703,95 @@ def pumped_langevin_solve(
         ],
         np.float32,
     ).reshape(1, -1)
+    if hp is not None:
+        return _pumped_langevin_adam_call(
+            key, q_matrix, v_vector, params_vec,
+            iterations=int(iterations), batch_size=int(batch_size),
+            pump_rate_flag=bool(pump_rate_flag), interpret=interpret,
+            noise_scale=float(noise_scale), rng=rng, hp=hp,
+        )
     return _pumped_langevin_call(
         key, q_matrix, v_vector, params_vec,
         iterations=int(iterations), batch_size=int(batch_size),
         pump_rate_flag=bool(pump_rate_flag), interpret=interpret,
         noise_scale=float(noise_scale), rng=rng,
     )
+
+
+def _pumped_langevin_adam_kernel(
+    iterations, n, pump_rate_flag, noise_scale, rng, hp,
+    seed_ref, params_ref, q_ref, v_ref, c_ref, m_ref, v2_ref,
+):
+    """Pumped Langevin with Adam-filtered feedback gradients (reference
+    ``pumped_langevin_solver.py:311-449``): only the feedback gradient goes
+    through Adam, the pump drift stays physical; the moments live in VMEM
+    scratch.  Drift math mirrors
+    :func:`ccvm_tpu.dynamics.pumped_langevin.make_adam_step`."""
+    _maybe_seed(seed_ref, noise_scale)
+    pump = params_ref[0, 0]
+    S = params_ref[0, 1]
+    dt = params_ref[0, 2]
+    sigma = params_ref[0, 3]
+    fs = params_ref[0, 4]
+    lo = params_ref[0, 5]
+    hi = params_ref[0, 6]
+    T = params_ref[0, 7]
+    sqrt_dt = jnp.sqrt(dt)
+    scale = (hi - lo) / (2.0 * S)
+    mid = (hi + lo) / 2.0
+    batch, np_ = c_ref.shape
+    v_row = v_ref[0, 0, :]
+
+    c_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+    m_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+    v2_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+
+    def step(state, fi):
+        c, m, v2 = state
+        x = c * scale + mid
+        grads = -_matvec(x, q_ref) * scale - v_row * scale
+        eff, m, v2 = _adam_update(grads, m, v2, fi, hp)
+        pump_i = pump * (fi + 1.0) / T if pump_rate_flag else pump
+        c_pump = (-1.0 + pump_i - jnp.square(c)) * c
+        w = _noise_one((batch, np_), noise_scale, rng)
+        c = c + dt * (c_pump + fs * eff) + (sigma * sqrt_dt) * w
+        return (jnp.clip(c, -S, S), m, v2)
+
+    _run_unrolled(iterations, (c_ref, m_ref, v2_ref), step)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "batch_size", "pump_rate_flag", "interpret",
+        "noise_scale", "rng", "hp",
+    ),
+)
+def _pumped_langevin_adam_call(
+    key, q_matrix, v_vector, params_vec, *, iterations, batch_size,
+    pump_rate_flag, interpret, noise_scale, rng, hp,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    stacked = q_matrix.ndim == 3
+    q, v, n, np_, num_instances, pack = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 3)
+    kernel = functools.partial(
+        _pumped_langevin_adam_kernel, iterations, n * pack, pump_rate_flag,
+        noise_scale, rng, hp,
+    )
+    scratch = pltpu.VMEM((tile, np_), jnp.float32)
+    c = pl.pallas_call(
+        kernel,
+        grid=(num_instances, k),
+        out_shape=jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_, num_instances),
+        out_specs=_out_spec(pl, pltpu, tile, np_, k),
+        scratch_shapes=[scratch, scratch],
+        interpret=interpret,
+    )(_seeds_for(key, num_instances), params_vec, q, v)
+    return _unstack(c, stacked, num_instances, pb, batch_size, n, pack)
 
 
 # ---------------------------------------------------------------------------
@@ -772,10 +884,10 @@ def _dl_call(
             jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
             jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
         ),
-        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_, num_instances),
         out_specs=(tile_spec, tile_spec),
         interpret=interpret,
-    )(_seed_from_key(key), params_vec, q, v)
+    )(_seeds_for(key, num_instances), params_vec, q, v)
     return (
         _unstack(c, stacked, num_instances, pb, batch_size, n, pack),
         _unstack(s, stacked, num_instances, pb, batch_size, n, pack),
@@ -913,11 +1025,11 @@ def _dl_adam_call(
             jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
             jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
         ),
-        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_, num_instances),
         out_specs=(tile_spec, tile_spec),
         scratch_shapes=[scratch] * 4,
         interpret=interpret,
-    )(_seed_from_key(key), params_vec, q, v)
+    )(_seeds_for(key, num_instances), params_vec, q, v)
     return (
         _unstack(c, stacked, num_instances, pb, batch_size, n, pack),
         _unstack(s, stacked, num_instances, pb, batch_size, n, pack),
@@ -1017,10 +1129,10 @@ def _mf_call(
             jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
             jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
         ),
-        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_, num_instances),
         out_specs=(tile_spec, tile_spec, tile_spec),
         interpret=interpret,
-    )(_seed_from_key(key), params_vec, q, v)
+    )(_seeds_for(key, num_instances), params_vec, q, v)
     S = params_vec[0, 1]
     mt = jnp.clip(mt, -S, S)  # final readout clamp (mf_solver.py:591-593)
     return (
@@ -1033,7 +1145,10 @@ def _mf_call(
 def mf_solve(
     key, q_matrix, v_vector, params, *, iterations, batch_size,
     pump_rate_flag, interpret=False, noise_scale=1.0, rng="popcount32",
+    hp=None,
 ):
+    """Fused MF solve; ``hp`` (AdamHyperparameters) selects the fused
+    Adam-in-loop variant with the moment arrays in VMEM scratch."""
     if np.ndim(params.S) != 0:
         return None
     params_vec = np.array(
@@ -1050,9 +1165,131 @@ def mf_solve(
         ],
         np.float32,
     ).reshape(1, -1)
+    if hp is not None:
+        return _mf_adam_call(
+            key, q_matrix, v_vector, params_vec,
+            iterations=int(iterations), batch_size=int(batch_size),
+            pump_rate_flag=bool(pump_rate_flag), interpret=interpret,
+            noise_scale=float(noise_scale), rng=rng, hp=hp,
+        )
     return _mf_call(
         key, q_matrix, v_vector, params_vec,
         iterations=int(iterations), batch_size=int(batch_size),
         pump_rate_flag=bool(pump_rate_flag), interpret=interpret,
         noise_scale=float(noise_scale), rng=rng,
+    )
+
+
+def _mf_adam_kernel(
+    iterations, n, pump_rate_flag, noise_scale, rng, hp,
+    seed_ref, params_ref, q_ref, v_ref, mu_ref, mt_ref, sigma_ref,
+    m_ref, v2_ref,
+):
+    """MF-CCVM with Adam-filtered feedback gradients (reference
+    ``mf_solver.py:595-764``): Adam filters the fs-scaled feedback only; the
+    pump/measurement drift and the mu diffusion stay physical.  The moment
+    arrays live in VMEM scratch.  Drift math mirrors
+    :func:`ccvm_tpu.dynamics.mf.make_adam_step`."""
+    _maybe_seed(seed_ref, noise_scale)
+    pump = params_ref[0, 0]
+    S = params_ref[0, 1]
+    dt = params_ref[0, 2]
+    j = params_ref[0, 3]
+    fs = params_ref[0, 4]
+    g = params_ref[0, 5]
+    lo = params_ref[0, 6]
+    hi = params_ref[0, 7]
+    T = params_ref[0, 8]
+    sqrt_dt = jnp.sqrt(dt)
+    span = hi - lo
+    mid = hi + lo
+    g_sq = jnp.square(g)
+    batch, np_ = mu_ref.shape
+    v_row = v_ref[0, 0, :]
+
+    mu_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+    mt_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+    sigma_ref[:] = jnp.full((batch, np_), 0.5, jnp.float32)
+    m_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+    v2_ref[:] = jnp.zeros((batch, np_), jnp.float32)
+
+    def step(state, fi):
+        mu, _, sigma, m, v2 = state
+        j_i = j * jnp.exp(-(fi + 1.0) / T * 3.0)
+        w = _noise_one((batch, np_), noise_scale, rng)
+        w_inc = w / sqrt_dt
+        mu_tilde = mu + jnp.sqrt(1.0 / (4.0 * j_i)) * w_inc
+        mu_tilde_c = jnp.clip(mu_tilde, -S, S)
+        rate = (fi + 1.0) / T if pump_rate_flag else jnp.float32(1.0)
+        pump_inst = pump * rate + 1.0 + j_i
+        x = mu_tilde_c * span / S + mid
+        grads = fs * (
+            -0.25 * _matvec(x, q_ref) * span / S - v_row * span / (2.0 * S)
+        )
+        eff, m, v2 = _adam_update(grads, m, v2, fi, hp)
+        mu_pow = jnp.square(mu)
+        mu_drift = (-(1.0 + j_i) + pump_inst - g_sq * mu_pow) * mu
+        mu_drift = mu_drift + jnp.sqrt(j_i) * (sigma - 0.5) * w_inc
+        drift_sigma = (
+            2.0 * (-(1.0 + j_i) + pump_inst - 3.0 * g_sq * mu_pow) * sigma
+            - 2.0 * j_i * jnp.square(sigma - 0.5)
+            + (1.0 + j_i)
+            + 2.0 * g_sq * mu_pow
+        )
+        bound = jnp.float32(_MF_SAFETY_BOUND)  # see _MF_SAFETY_BOUND
+        return (
+            jnp.clip(mu + dt * (eff + mu_drift), -bound, bound),
+            mu_tilde,
+            sigma + dt * drift_sigma,
+            m,
+            v2,
+        )
+
+    _run_unrolled(
+        iterations, (mu_ref, mt_ref, sigma_ref, m_ref, v2_ref), step
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "batch_size", "pump_rate_flag", "interpret",
+        "noise_scale", "rng", "hp",
+    ),
+)
+def _mf_adam_call(
+    key, q_matrix, v_vector, params_vec, *, iterations, batch_size,
+    pump_rate_flag, interpret, noise_scale, rng, hp,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    stacked = q_matrix.ndim == 3
+    q, v, n, np_, num_instances, pack = _pad_problem(q_matrix, v_vector)
+    pb, tile, k = _tile_plan(_packed_rows(batch_size, pack), np_, 5)
+    kernel = functools.partial(
+        _mf_adam_kernel, iterations, n * pack, pump_rate_flag, noise_scale,
+        rng, hp,
+    )
+    tile_spec = _out_spec(pl, pltpu, tile, np_, k)
+    scratch = pltpu.VMEM((tile, np_), jnp.float32)
+    mu, mt, sigma = pl.pallas_call(
+        kernel,
+        grid=(num_instances, k),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
+            jax.ShapeDtypeStruct((num_instances * pb, np_), jnp.float32),
+        ),
+        in_specs=_in_specs(pl, pltpu, params_vec.shape, np_, num_instances),
+        out_specs=(tile_spec, tile_spec, tile_spec),
+        scratch_shapes=[scratch, scratch],
+        interpret=interpret,
+    )(_seeds_for(key, num_instances), params_vec, q, v)
+    S = params_vec[0, 1]
+    mt = jnp.clip(mt, -S, S)  # final readout clamp (mf_solver.py:591-593)
+    return (
+        _unstack(mu, stacked, num_instances, pb, batch_size, n, pack),
+        _unstack(mt, stacked, num_instances, pb, batch_size, n, pack),
+        _unstack(sigma, stacked, num_instances, pb, batch_size, n, pack),
     )

@@ -107,7 +107,12 @@ def sweep_solve(
         algorithm_parameters: optional :class:`AdamParameters` — runs the
             Adam-in-the-loop dynamics variant for the whole sweep.
         seed: instance ``i`` uses ``jax.random.PRNGKey(seed + i)`` — identical
-            to solving serially with ``solver(inst, seed=seed + i)``.
+            to solving serially with ``solver(inst, seed=seed + i)`` on the
+            same backend.  The lax path feeds the keys straight into the
+            vmapped dynamics; the fused-kernel path derives instance ``i``'s
+            hardware-PRNG seed from the same ``PRNGKey(seed + i)`` and folds
+            in only the batch-tile id, so its in-kernel streams are
+            bit-identical to a serial fused-kernel solve of that instance.
         scale: when True, applies ``instance.scale_coefs(get_scaling_factor)``
             to every instance first (skip if the caller already scaled).
         mesh: optional Mesh; the instance axis shards over its "batch" axis.
@@ -173,7 +178,7 @@ def sweep_solve(
             from ccvm_tpu.ops import pallas_kernels as kernels
 
             raw = kernels.langevin_solve(
-                keys[0], qs, vs, params,
+                keys, qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
                 rng=getattr(solver, "kernel_rng", "popcount32"),
             )
@@ -201,7 +206,7 @@ def sweep_solve(
             from ccvm_tpu.ops import pallas_kernels as kernels
 
             raw = kernels.pumped_langevin_solve(
-                keys[0], qs, vs, params,
+                keys, qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
                 pump_rate_flag=pump_rate_flag,
                 rng=getattr(solver, "kernel_rng", "popcount32"),
@@ -232,7 +237,7 @@ def sweep_solve(
             from ccvm_tpu.ops import pallas_kernels as kernels
 
             out = kernels.dl_solve(
-                keys[0], qs, vs, params,
+                keys, qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
                 pump_rate_flag=pump_rate_flag,
                 rng=getattr(solver, "kernel_rng", "popcount32"),
@@ -266,7 +271,7 @@ def sweep_solve(
             from ccvm_tpu.ops import pallas_kernels as kernels
 
             out = kernels.mf_solve(
-                keys[0], qs, vs, params,
+                keys, qs, vs, params,
                 iterations=iterations, batch_size=batch_size,
                 pump_rate_flag=pump_rate_flag,
                 rng=getattr(solver, "kernel_rng", "popcount32"),

@@ -380,3 +380,22 @@ class CCVMSolver(ABC):
             segments.append(sp - prev)
             prev = sp
         return num_samples, segments
+
+    @staticmethod
+    def _device_sample_stack(samples, num_samples):
+        """(S, batch, n) segment samples -> (batch, n, num_samples) **device**
+        array (zero-padded in the trailing dim like the reference's buffer,
+        ``dl_solver.py:557-564``).
+
+        The stack stays on device: only the best trajectory's
+        ``(n, num_samples)`` slice is ever read back when the evolution file
+        is written, so an evolution solve at the headline batch 65536 no
+        longer materialises the ~300 MB full host buffer.
+        """
+        import jax.numpy as jnp
+
+        samples = jnp.moveaxis(jnp.asarray(samples), 0, -1)
+        pad = num_samples - samples.shape[-1]
+        if pad:
+            samples = jnp.pad(samples, ((0, 0), (0, 0), (0, pad)))
+        return samples

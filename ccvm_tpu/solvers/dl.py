@@ -280,7 +280,6 @@ class DLSolver(CCVMSolver):
         # In-jit evolution sampling: one dispatch, one sync (see langevin.py);
         # the final clamp to the original +-S happens inside solve_sampled
         # (reference dl_solver.py:566-567).
-        n = self.q_matrix.shape[0]
         num_samples, segments = self._evolution_sample_plan(
             iterations, evolution_step_size
         )
@@ -290,14 +289,8 @@ class DLSolver(CCVMSolver):
             pump_rate_flag=pump_rate_flag, pump_is_gt_one=pump_is_gt_one,
             hp=hp,
         )
-        self.c_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
-        self.s_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
-        self.c_sample[:, :, : len(segments)] = np.moveaxis(
-            np.asarray(c_samp), 0, -1
-        )
-        self.s_sample[:, :, : len(segments)] = np.moveaxis(
-            np.asarray(s_samp), 0, -1
-        )
+        self.c_sample = self._device_sample_stack(c_samp, num_samples)
+        self.s_sample = self._device_sample_stack(s_samp, num_samples)
         return c, s
 
     def _solve_adam(

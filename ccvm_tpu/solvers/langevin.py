@@ -259,7 +259,6 @@ class LangevinSolver(CCVMSolver):
         # langevin_solver.py:427-433): the whole loop runs as ONE jit that
         # emits a sample after each segment — a single dispatch and a single
         # device sync instead of one per segment.
-        n = self.q_matrix.shape[0]
         num_samples, segments = self._evolution_sample_plan(
             iterations, evolution_step_size
         )
@@ -267,10 +266,7 @@ class LangevinSolver(CCVMSolver):
             key, self.q_matrix, self.v_vector, params,
             np.asarray(segments, np.int32), batch_size=self.batch_size, hp=hp,
         )
-        self.c_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
-        self.c_sample[:, :, : len(segments)] = np.moveaxis(
-            np.asarray(samples), 0, -1
-        )
+        self.c_sample = self._device_sample_stack(samples, num_samples)
         return c
 
     def _solve_adam(self, key, params, iterations, evolution_step_size, hyperparameters):

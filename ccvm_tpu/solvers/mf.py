@@ -254,13 +254,17 @@ class MFSolver(CCVMSolver):
         self, key, params, iterations, pump_rate_flag, evolution_step_size, hp=None
     ):
         if not evolution_step_size:
-            if self._use_pallas(evolution_step_size, params.S, hp):
+            # hp_in_kernel: the MF Adam variant has a fused kernel (moment
+            # arrays in VMEM scratch), so Adam solves stay fused.
+            if self._use_pallas(evolution_step_size, params.S, hp,
+                                hp_in_kernel=True):
                 from ccvm_tpu.ops import pallas_kernels as kernels
 
                 out = kernels.mf_solve(
                     key, self.q_matrix, self.v_vector, params,
                     iterations=iterations, batch_size=self.batch_size,
                     pump_rate_flag=pump_rate_flag, rng=self.kernel_rng,
+                    hp=hp,
                 )
                 if out is not None:
                     return out
@@ -286,7 +290,6 @@ class MFSolver(CCVMSolver):
         # In-jit evolution sampling: one dispatch, one sync (see langevin.py);
         # the readout mu_tilde (last iteration, clamped) comes from
         # solve_sampled, matching dyn.solve.
-        n = self.q_matrix.shape[0]
         num_samples, segments = self._evolution_sample_plan(
             iterations, evolution_step_size
         )
@@ -295,14 +298,8 @@ class MFSolver(CCVMSolver):
             np.asarray(segments, np.int32), batch_size=self.batch_size,
             pump_rate_flag=pump_rate_flag, hp=hp,
         )
-        self.mu_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
-        self.sigma_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
-        self.mu_sample[:, :, : len(segments)] = np.moveaxis(
-            np.asarray(mu_samp), 0, -1
-        )
-        self.sigma_sample[:, :, : len(segments)] = np.moveaxis(
-            np.asarray(sigma_samp), 0, -1
-        )
+        self.mu_sample = self._device_sample_stack(mu_samp, num_samples)
+        self.sigma_sample = self._device_sample_stack(sigma_samp, num_samples)
         return mu, mu_tilde, sigma
 
     def _solve_adam(

