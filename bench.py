@@ -50,19 +50,64 @@ def _first_instance(size):
     return files[0] if files else None
 
 
-def _tuned_params(size):
-    """Per-size DL parameters: tuned table when present, paper defaults
+# Paper defaults per solver (docs/source/ccvm_equations_of_motion.rst);
+# the tuned table overrides per size.
+DEFAULTS = {
+    "dl": {"pump": 8.0, "feedback_scale": 100, "dt": 0.001, "noise_ratio": 10},
+    "mf": {"pump": 0.0, "feedback_scale": 4000, "j": 5.0, "S": 20.0,
+           "dt": 0.0025},
+    "langevin": {"dt": 0.002, "S": 0.5, "sigma": 0.5, "feedback_scale": 1.0},
+    "pumped": {"pump": 2.0, "dt": 0.002, "S": 0.5, "sigma": 0.5,
+               "feedback_scale": 1.0},
+}
+# Hardware model used for each solver's TTS machine time (same table as
+# examples/benchmarking_study.py; reference machine models in each solver).
+MACHINES = {"dl": "dl-ccvm", "mf": "mf-ccvm", "langevin": "fpga",
+            "pumped": "cpu"}
+
+
+def _tuned_params(size, solver="dl"):
+    """Per-size solver parameters: tuned table when present, paper defaults
     otherwise (iterations pinned to the benchmark workload)."""
-    params = {
-        "pump": 8.0, "feedback_scale": 100, "dt": 0.001, "noise_ratio": 10,
-    }
+    params = dict(DEFAULTS[solver])
     tuned_path = os.path.join(REPO, "examples", "tuned_parameters.json")
     if os.path.exists(tuned_path):
         with open(tuned_path) as f:
-            table = json.load(f).get("dl", {})
+            table = json.load(f).get(solver, {})
         params.update(table.get(str(size), {}))
     params["iterations"] = ITERATIONS
     return params
+
+
+def _tts_at_optimal(name, solver, size):
+    """Median TTS at the 0.1% gap for ``size`` from the committed sweep of
+    the reference's Gurobi-certified instance set, using the reference's
+    statistic (``sampleTTSmetric.py:123-214``: machine_time x mean
+    bootstrapped R99 median; BASELINE.md "TTS statistic definition" row).
+
+    Returns None when the swept metadata or the machine model is missing.
+    """
+    path = os.path.join(
+        REPO, "benchmark_results_reference", f"{name}_benchmark.json"
+    )
+    if not os.path.exists(path):
+        return None
+    from ccvm_tpu.ccvmplotlib.problem_metadata.boxqp_metadata import (
+        BoxQPMetadata,
+    )
+    from ccvm_tpu.ccvmplotlib.problem_metadata.problem_metadata import (
+        ProblemType,
+    )
+
+    md = BoxQPMetadata(ProblemType.BoxQP)
+    md.ingest_metadata(path)
+    table = md.generate_plot_data(
+        solver.machine_time(machine=MACHINES[name])
+    )
+    try:
+        return float(table.loc[size, ("optimal", "50")])
+    except KeyError:
+        return None
 
 
 def main():
@@ -156,6 +201,54 @@ def main():
             f"   {perf['one_percent']:.3f}  "
             f"{sol.best_objective_value:.3f}/{sol.optimal_value:.3f}"
             f"  ({os.path.basename(p)})",
+            file=sys.stderr,
+        )
+
+    # Per-solver BASELINE metrics (BASELINE.json: "TTS (0.1% gap) and SDE
+    # iterations/s/chip" for the framework, not just DL): N=70 throughput at
+    # the headline batch, P(0.1%), and the reference-statistic TTS from the
+    # committed sweep of the certified instance set.
+    from ccvm_tpu import LangevinSolver, MFSolver, PumpedLangevinSolver
+
+    classes = {
+        "dl": DLSolver, "mf": MFSolver, "langevin": LangevinSolver,
+        "pumped": PumpedLangevinSolver,
+    }
+    print(
+        f"# all-solver BASELINE table (N={headline_size},"
+        f" batch={HEADLINE_BATCH}; TTS = machine_time x mean R99 median,"
+        f" certified reference set):",
+        file=sys.stderr,
+    )
+    print("# solver      wall_s   traj-iter/s   P(0.1%)   TTS50@0.1%(s)",
+          file=sys.stderr)
+    path = _first_instance(headline_size)
+    for name, cls in classes.items():
+        solver = cls(device=device, batch_size=HEADLINE_BATCH, timing="async")
+        solver.parameter_key = {
+            headline_size: _tuned_params(headline_size, name)
+        }
+        instance = ProblemInstance(
+            instance_type="tuning", file_path=path, device=device
+        )
+        instance.scale_coefs(solver.get_scaling_factor(instance.q_matrix))
+        pp = None if name == "dl" else "grad-descent"
+        solver(instance, post_processor=pp, seed=0)  # warm-up
+        best_wall, sol = float("inf"), None
+        for rep in range(3):
+            t0 = time.perf_counter()
+            s = solver(instance, post_processor=pp, seed=rep + 1)
+            wall = time.perf_counter() - t0
+            if wall < best_wall:
+                best_wall, sol = wall, s
+        r = ITERATIONS * HEADLINE_BATCH / best_wall
+        tts = _tts_at_optimal(name, solver, headline_size)
+        tts_s = "n/a" if tts is None else (
+            "inf" if tts == float("inf") else f"{tts:.4g}"
+        )
+        print(
+            f"# {name:<10}  {best_wall:6.3f}  {r:12.0f}   "
+            f"{sol.solution_performance['optimal']:.3f}     {tts_s}",
             file=sys.stderr,
         )
 
