@@ -1,21 +1,22 @@
-"""String mixin (parity with ``ccvm_simulators/ccvmplotlib/utils/mixins.py``,
-without the legacy ``future`` dependency)."""
+"""Debug-printing mixin for metric/config objects.
 
-import types
+Same behaviour as the reference's mixin
+(``ccvm_simulators/ccvmplotlib/utils/mixins.py``): ``str(obj)`` shows the
+public, non-callable, non-None attributes as a plain dict.
+"""
+
+from __future__ import annotations
 
 
 class StrDictMixIn:
-    """__str__ returning a dict of all public, non-callable attributes."""
+    """``__str__`` renders the instance's public data attributes."""
 
-    def __str__(self):
-        d = {}
-        for key, value in self.__dict__.items():
-            if (
-                isinstance(value, types.FunctionType)
-                or key.startswith("_")
-                or callable(value)
-                or value is None
-            ):
-                continue
-            d[key] = value
-        return str(d)
+    def __str__(self) -> str:
+        shown = {
+            name: value
+            for name, value in vars(self).items()
+            if not name.startswith("_")
+            and value is not None
+            and not callable(value)
+        }
+        return str(shown)
