@@ -242,11 +242,15 @@ class DLSolver(CCVMSolver):
         self, key, params, iterations, pump_rate_flag, pump_is_gt_one,
         evolution_step_size, hp=None,
     ):
+        # Evaluated on every solve (including evolution sampling) so an
+        # explicit backend="pallas" that a feature forces onto the lax path
+        # logs the reason instead of silently degrading.
+        # hp_in_kernel: the DL Adam variant has a fused kernel (four
+        # moment arrays in VMEM scratch), so Adam solves stay fused.
+        use_pallas = self._use_pallas(evolution_step_size, params.S, hp,
+                                      hp_in_kernel=True)
         if not evolution_step_size:
-            # hp_in_kernel: the DL Adam variant has a fused kernel (four
-            # moment arrays in VMEM scratch), so Adam solves stay fused.
-            if self._use_pallas(evolution_step_size, params.S, hp,
-                                hp_in_kernel=True):
+            if use_pallas:
                 from ccvm_tpu.ops import pallas_kernels as kernels
 
                 out = kernels.dl_solve(

@@ -224,11 +224,15 @@ class LangevinSolver(CCVMSolver):
     def _solve(self, key, params, iterations, evolution_step_size, hp=None):
         """Run the scanned (or fused-kernel, or mesh-sharded) solve;
         optionally record evolution samples segment by segment."""
+        # Evaluated on every solve (including evolution sampling) so an
+        # explicit backend="pallas" that a feature forces onto the lax path
+        # logs the reason instead of silently degrading.
+        # hp_in_kernel: the Langevin Adam variant has a fused kernel
+        # (moments in VMEM scratch), so Adam solves stay on the fast path.
+        use_pallas = self._use_pallas(evolution_step_size, params.S, hp,
+                                      hp_in_kernel=True)
         if not evolution_step_size:
-            # hp_in_kernel: the Langevin Adam variant has a fused kernel
-            # (moments in VMEM scratch), so Adam solves stay on the fast path.
-            if self._use_pallas(evolution_step_size, params.S, hp,
-                                hp_in_kernel=True):
+            if use_pallas:
                 from ccvm_tpu.ops import pallas_kernels as kernels
 
                 c = kernels.langevin_solve(
