@@ -104,30 +104,45 @@ def _active_set_polish(q, v, x, max_rounds=50):
 
 
 class _NodeLP:
-    """Builds and solves the McCormick LP for one node's box [l, u].
+    """Builds and solves the McCormick + triangle-cut LP for one node's box.
 
-    Variable layout: [x_0..x_{n-1}, X_(pairs in fixed order)].
-    Only pairs with q_ij != 0 get an X variable (dense instances: all).
+    Variable layout: [x_0..x_{n-1}, X_(pairs in fixed order)].  Every pair
+    (i <= j) gets an X variable and BOTH sides of its McCormick envelope —
+    the triangle cuts couple X variables whose one-sided envelopes would
+    otherwise leave the unused side unbounded.
+
+    Triangle inequalities of the boolean quadric polytope are valid for the
+    *continuous* box [0, 1]^n as well (Burer & Letchford, "On nonconvex QP
+    with box constraints"): for distinct i, j, k,
+
+        X_ij + X_ik - X_jk <= x_i                       (3 rotations)
+        x_i + x_j + x_k - X_ij - X_ik - X_jk <= 1.
+
+    They are separated in a small cutting-plane loop per node; on dense
+    BoxQP they close most of the McCormick root gap, which pure envelopes
+    cannot (round-3: ~45% root gaps at N=40 were unclosable).
     """
 
-    def __init__(self, q, v):
+    def __init__(self, q, v, triangle_rounds=3, max_cuts_per_round=250):
         self.q, self.v = q, v
         n = q.shape[0]
         self.n = n
-        pairs = [(i, j) for i in range(n) for j in range(i, n)
-                 if q[i, j] != 0.0 or i == j]
+        pairs = [(i, j) for i in range(n) for j in range(i, n)]
         self.pairs = pairs
-        self.pair_index = {p: n + k for k, p in enumerate(pairs)}
-        # LP objective (constant): maximize ½⟨Q,X⟩ + vᵀx  →  minimize −(…)
+        kidx = np.full((n, n), -1, dtype=np.int64)
+        for k, (i, j) in enumerate(pairs):
+            kidx[i, j] = kidx[j, i] = n + k
+        self.kidx = kidx
+        self.triangle_rounds = triangle_rounds
+        self.max_cuts_per_round = max_cuts_per_round
         cost = np.zeros(n + len(pairs))
         cost[:n] = -v
         for k, (i, j) in enumerate(pairs):
             cost[n + k] = -(q[i, j] if i == j else 2.0 * q[i, j]) * 0.5
         self.cost = cost
 
-    def solve(self, l, u):
-        """Return (ub, x_lp, X_err) or (None,)*3 if the LP fails."""
-        n, q = self.n, self.q
+    def _base_rows(self, l, u):
+        n = self.n
         rows, cols, vals, rhs = [], [], [], []
         r = 0
 
@@ -143,23 +158,64 @@ class _NodeLP:
         for k, (i, j) in enumerate(self.pairs):
             xk = n + k
             if i == j:
-                if q[i, i] > 0:
-                    # X_ii − (l+u) x_i ≤ −l u
-                    add([(xk, 1.0), (i, -(l[i] + u[i]))], -l[i] * u[i])
-                else:
-                    # −X_ii + 2t x_i ≤ t²  for tangent points t
-                    m = 0.5 * (l[i] + u[i])
-                    for t in (l[i], m, u[i]):
-                        add([(xk, -1.0), (i, 2.0 * t)], t * t)
-            elif q[i, j] > 0:
+                # secant (upper) and three tangents (lower) — both always.
+                add([(xk, 1.0), (i, -(l[i] + u[i]))], -l[i] * u[i])
+                m = 0.5 * (l[i] + u[i])
+                for t in (l[i], m, u[i]):
+                    add([(xk, -1.0), (i, 2.0 * t)], t * t)
+            else:
+                # both upper and both lower McCormick envelopes.
                 add([(xk, 1.0), (i, -u[j]), (j, -l[i])], -l[i] * u[j])
                 add([(xk, 1.0), (i, -l[j]), (j, -u[i])], -u[i] * l[j])
-            else:
                 add([(xk, -1.0), (i, l[j]), (j, l[i])], l[i] * l[j])
                 add([(xk, -1.0), (i, u[j]), (j, u[i])], u[i] * u[j])
+        return rows, cols, vals, rhs, r
 
-        A = coo_matrix((vals, (rows, cols)), shape=(r, n + len(self.pairs)))
-        # X bounds from interval arithmetic keep the LP bounded.
+    def _separate_triangles(self, x, Xm):
+        """Most-violated triangle cuts at the LP point.
+
+        Returns a list of (entries, rhs) rows.  Vectorized over the full
+        (i, j, k) cube; each cut is emitted once.
+        """
+        n = self.n
+        viol = []
+        # T2: x_i + x_j + x_k - X_ij - X_ik - X_jk <= 1
+        xs = x[:, None, None] + x[None, :, None] + x[None, None, :]
+        Xs = Xm[:, :, None] + Xm[:, None, :] + Xm[None, :, :]
+        v2 = xs - Xs - 1.0
+        # T1 (center i): X_ij + X_ik - X_jk - x_i <= 0
+        v1 = Xm[:, :, None] + Xm[:, None, :] - Xm[None, :, :] - x[:, None, None]
+        tol = 1e-6
+        ii, jj, kk = np.where(v2 > tol)
+        for i, j, k in zip(ii, jj, kk):
+            if i < j < k:
+                viol.append((float(v2[i, j, k]), ("T2", int(i), int(j), int(k))))
+        ii, jj, kk = np.where(v1 > tol)
+        for i, j, k in zip(ii, jj, kk):
+            if j < k and i != j and i != k:
+                viol.append((float(v1[i, j, k]), ("T1", int(i), int(j), int(k))))
+        viol.sort(key=lambda t: -t[0])
+        cuts = []
+        for _, (kind, i, j, k) in viol[: self.max_cuts_per_round]:
+            if kind == "T2":
+                cuts.append((
+                    [(i, 1.0), (j, 1.0), (k, 1.0),
+                     (self.kidx[i, j], -1.0), (self.kidx[i, k], -1.0),
+                     (self.kidx[j, k], -1.0)],
+                    1.0,
+                ))
+            else:
+                cuts.append((
+                    [(self.kidx[i, j], 1.0), (self.kidx[i, k], 1.0),
+                     (self.kidx[j, k], -1.0), (i, -1.0)],
+                    0.0,
+                ))
+        return cuts
+
+    def solve(self, l, u):
+        """Return (ub, x_lp, X_err) or (None,)*3 if the LP fails."""
+        n = self.n
+        rows, cols, vals, rhs, r = self._base_rows(l, u)
         lb = np.empty(n + len(self.pairs))
         ub_ = np.empty(n + len(self.pairs))
         lb[:n], ub_[:n] = l, u
@@ -168,14 +224,35 @@ class _NodeLP:
                 [l[i] * l[j], l[i] * u[j], u[i] * l[j], u[i] * u[j]]
             )
             lb[n + k], ub_[n + k] = corners.min(), corners.max()
-        res = linprog(
-            self.cost, A_ub=A.tocsr(), b_ub=np.asarray(rhs),
-            bounds=np.stack([lb, ub_], axis=1), method="highs",
-        )
-        if not res.success:
-            return None, None, None
+        bounds = np.stack([lb, ub_], axis=1)
+
+        res = None
+        for _ in range(self.triangle_rounds + 1):
+            A = coo_matrix(
+                (vals, (rows, cols)), shape=(r, n + len(self.pairs))
+            )
+            res = linprog(
+                self.cost, A_ub=A.tocsr(), b_ub=np.asarray(rhs),
+                bounds=bounds, method="highs",
+            )
+            if not res.success:
+                return None, None, None
+            x = res.x[:n]
+            Xm = np.empty((n, n))
+            for k, (i, j) in enumerate(self.pairs):
+                Xm[i, j] = Xm[j, i] = res.x[n + k]
+            cuts = self._separate_triangles(x, Xm)
+            if not cuts:
+                break
+            for entries, b in cuts:
+                for c, a in entries:
+                    rows.append(r)
+                    cols.append(c)
+                    vals.append(a)
+                rhs.append(b)
+                r += 1
+
         x = res.x[:n]
-        # Envelope error per variable drives branching.
         err = np.zeros(n)
         for k, (i, j) in enumerate(self.pairs):
             e = abs(res.x[n + k] - x[i] * x[j]) * abs(
