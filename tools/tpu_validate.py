@@ -66,35 +66,46 @@ def main():
     print(f"instance: {instance_path}  batch={args.batch} "
           f"iterations={args.iterations}")
 
+    from ccvm_tpu.solvers.algorithms import AdamParameters
+
     failures = []
+    # (variant label, algorithm_parameters): every solver is validated both
+    # with the original dynamics and with the fused Adam-in-loop kernels.
+    variants = [
+        ("", None),
+        ("+adam", AdamParameters(alpha=0.1, beta1=0.9, beta2=0.999,
+                                 add_assign=True)),
+    ]
     for name, (cls, base) in PARAMS.items():
-        perf = {}
-        for backend in ("pallas", "lax"):
-            solver = cls(device=device, batch_size=args.batch, backend=backend,
-                         kernel_rng=args.rng)
-            params = dict(base)
-            params["iterations"] = args.iterations
-            solver.parameter_key = {20: params}
-            inst = ProblemInstance(
-                instance_type="test", file_path=instance_path, device=device
-            )
-            inst.scale_coefs(solver.get_scaling_factor(inst.q_matrix))
-            sol = solver(inst, seed=args.seed)
-            perf[backend] = sol.solution_performance
-        print(f"\n{name}:")
-        for gap in perf["pallas"]:
-            p_pal, p_lax = perf["pallas"][gap], perf["lax"][gap]
-            sig = np.sqrt(
-                max(p_pal * (1 - p_pal), p_lax * (1 - p_lax), 1e-6)
-                / args.batch
-            ) * np.sqrt(2)
-            tol = 5 * sig + 0.01
-            ok = abs(p_pal - p_lax) <= tol
-            mark = "ok " if ok else "FAIL"
-            print(f"  {mark} {gap:<13} pallas={p_pal:.4f} lax={p_lax:.4f} "
-                  f"tol={tol:.4f}")
-            if not ok:
-                failures.append((name, gap, p_pal, p_lax))
+        for suffix, algo in variants:
+            perf = {}
+            for backend in ("pallas", "lax"):
+                solver = cls(device=device, batch_size=args.batch,
+                             backend=backend, kernel_rng=args.rng)
+                params = dict(base)
+                params["iterations"] = args.iterations
+                solver.parameter_key = {20: params}
+                inst = ProblemInstance(
+                    instance_type="test", file_path=instance_path,
+                    device=device,
+                )
+                inst.scale_coefs(solver.get_scaling_factor(inst.q_matrix))
+                sol = solver(inst, seed=args.seed, algorithm_parameters=algo)
+                perf[backend] = sol.solution_performance
+            print(f"\n{name}{suffix}:")
+            for gap in perf["pallas"]:
+                p_pal, p_lax = perf["pallas"][gap], perf["lax"][gap]
+                sig = np.sqrt(
+                    max(p_pal * (1 - p_pal), p_lax * (1 - p_lax), 1e-6)
+                    / args.batch
+                ) * np.sqrt(2)
+                tol = 5 * sig + 0.01
+                ok = abs(p_pal - p_lax) <= tol
+                mark = "ok " if ok else "FAIL"
+                print(f"  {mark} {gap:<13} pallas={p_pal:.4f} "
+                      f"lax={p_lax:.4f} tol={tol:.4f}")
+                if not ok:
+                    failures.append((name + suffix, gap, p_pal, p_lax))
 
     if failures:
         print("\nFAILURES:", failures)
