@@ -357,18 +357,27 @@ def sweep_solve(
     else:
         confs = problem_variables
 
-    # ONE device->host readback for the whole sweep (a per-instance
-    # compute_energy/Solution loop costs one host<->device round trip PER
-    # INSTANCE — tens of ms each through a TPU tunnel), then float64 host
-    # energies: solution statistics need more than float32 precision near
-    # the 0.1% gap (see ProblemInstance.compute_energy_host64).
-    confs_np = _readback(confs)
-    objvals = np.stack(
-        [
-            inst.compute_energy_host64(confs_np[i])
-            for i, inst in enumerate(instances)
-        ]
-    )
+    # Mixed-precision readout per instance: f32 energies computed ON DEVICE,
+    # only the (batch,) energy vectors plus gap-boundary-adjacent rows cross
+    # the tunnel in float64 (ProblemInstance.compute_energy_readout64) — the
+    # full (I, batch, n) transfer at headline batch sizes costs ~1 s.
+    # Multi-process meshes fall back to the gathered full-precision path
+    # (shards not host-addressable).
+    if jax.process_count() > 1:
+        confs_np = _readback(confs)
+        objvals = np.stack(
+            [
+                inst.compute_energy_host64(confs_np[i])
+                for i, inst in enumerate(instances)
+            ]
+        )
+    else:
+        objvals = np.stack(
+            [
+                inst.compute_energy_readout64(confs[i])
+                for i, inst in enumerate(instances)
+            ]
+        )
 
     # Per-instance Solutions; wall time attributed evenly across the sweep
     # then batch-normalized (reference solve-time semantics, dl_solver.py:933).

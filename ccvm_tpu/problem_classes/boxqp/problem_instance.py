@@ -202,13 +202,11 @@ class ProblemInstance:
             # Name the instance after the file (reference :221-224)
             self.name = file_path.split("/")[-1].split(".")[0]
 
-    def compute_energy(self, confs):
-        """Objective value 0.5 xQx + Vx for a batch of configurations
-        (reference ``:226-241``)."""
-        confs = jnp.asarray(confs)
+    def _mesh_matched_coefs(self, confs):
+        """Q/V placed compatibly with ``confs``: when confs come out of a
+        mesh-sharded solve, replicate the problem data over the same mesh so
+        the reduction stays distributed."""
         q, v = self.q_matrix, self.v_vector
-        # When confs come out of a mesh-sharded solve, replicate the problem
-        # data over the same mesh so the reduction stays distributed.
         sharding = getattr(confs, "sharding", None)
         mesh = getattr(sharding, "mesh", None)
         if mesh is not None and getattr(mesh, "size", 1) > 1:
@@ -217,6 +215,13 @@ class ProblemInstance:
             replicated = NamedSharding(mesh, PartitionSpec())
             q = jax.device_put(q, replicated)
             v = jax.device_put(v, replicated)
+        return q, v
+
+    def compute_energy(self, confs):
+        """Objective value 0.5 xQx + Vx for a batch of configurations
+        (reference ``:226-241``)."""
+        confs = jnp.asarray(confs)
+        q, v = self._mesh_matched_coefs(confs)
         return _energy_kernel(confs, q, v, jnp.float32(self.scaled_by))
 
     def compute_energy_host64(self, confs):
@@ -242,6 +247,81 @@ class ProblemInstance:
         qx = x @ q
         e = 0.5 * np.sum(x * qx, axis=-1) + x @ v
         return e * scale
+
+    def compute_energy_readout64(self, confs, gap_margin=None, top_k=64):
+        """float64-grade readout energies with a device-side f32 first pass.
+
+        ``compute_energy_host64`` transfers the FULL (batch, n) readout to
+        the host — ~18 MB at the headline batch 65536, which through the
+        TPU tunnel costs ~1 s and dominates the end-to-end solve.  Only two
+        things downstream actually need float64 precision: which side of
+        each optimality-gap threshold a row falls on, and the best
+        objective value.  So: compute f32 energies ON DEVICE (one batched
+        contraction), transfer just the (batch,) energy vector, and
+        re-evaluate in float64 only the rows that f32 cannot classify,
+        plus the ``top_k`` best rows (exact best value / argmax) and any
+        row whose tiny |energy| makes the relative gap ill-conditioned.
+        Rows outside the margin keep their f32 value widened to f64 — they
+        cannot change any Solution statistic.
+
+        ``gap_margin=None`` (default) uses a **rigorous per-row bound**: a
+        second device pass evaluates the absolute-value energy
+        ``0.5 |x||Q||x| + |V||x|``, whose scaled sum bounds the f32
+        rounding of the real energy (standard forward error analysis,
+        |fl(e) − e| ≤ γ_n · Σ|terms| with γ_n ≈ n·u); propagated through
+        the gap formula this gives each row its own margin — typically
+        ~0.01 gap-points, so a converged batch clustered at gap ≈ 0 is NOT
+        re-transferred just for sitting near the 0.1% threshold.  A float
+        ``gap_margin`` overrides with a fixed margin in gap points.
+
+        Falls back to :meth:`compute_energy_host64` when no optimum is
+        recorded (margin undefined) or under multi-process execution
+        (shards not host-addressable).
+        """
+        import jax
+
+        confs = jnp.asarray(confs)
+        opt = self.optimal_sol
+        if opt is None or confs.ndim != 2 or jax.process_count() > 1:
+            return self.compute_energy_host64(np.asarray(confs))
+
+        e = np.asarray(self.compute_energy(confs), np.float64)
+        pos = -e  # Solution's positive-objective convention
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gap = (opt - pos) * 100.0 / np.abs(pos)
+
+            if gap_margin is None:
+                # Rigorous per-row margin from the abs-energy bound.
+                n = confs.shape[-1]
+                q, v = self._mesh_matched_coefs(confs)
+                abs_e = np.asarray(
+                    _energy_kernel(
+                        jnp.abs(confs), jnp.abs(q), jnp.abs(v),
+                        jnp.float32(abs(self.scaled_by)),
+                    ),
+                    np.float64,
+                )
+                # gamma_n with headroom for coefficient-storage rounding,
+                # the scaled_by multiply, and XLA reduction order.
+                gamma = 4.0 * (n + 8) * 2.0 ** -23
+                de = gamma * abs_e + 1e-12
+                dgap = 100.0 * (abs(opt) + 2.0 * np.abs(pos)) / (pos * pos) * de
+            else:
+                dgap = float(gap_margin)
+
+            thr = np.array([0.1, 1.0, 2.0, 3.0, 4.0, 5.0, 10.0])
+            dist = np.abs(gap[:, None] - thr[None, :]).min(axis=1)
+            near = dist < dgap
+        near |= np.abs(pos) < 1e-3 * max(abs(opt), 1.0)
+        near |= ~np.isfinite(gap)
+        k = min(int(top_k), e.shape[0])
+        if k:
+            near[np.argpartition(e, k - 1)[:k]] = True
+        idx = np.flatnonzero(near)
+        if idx.size:
+            rows = np.asarray(jnp.take(confs, jnp.asarray(idx), axis=0))
+            e[idx] = self.compute_energy_host64(rows)
+        return e
 
     def scale_coefs(self, scaling_factor):
         """Divide problem coefficients by ``scaling_factor``; consecutive calls

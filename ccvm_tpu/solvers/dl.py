@@ -409,9 +409,11 @@ class DLSolver(CCVMSolver):
         # output (dl_solver.py:941-958); preserved for behavioural parity.
         confs = self.change_variables(problem_variables, lo, hi, params.S)
         # Float64 host readout energy: solution statistics need more than
-        # float32 precision near the 0.1% gap (see compute_energy_host64);
+        # float32 precision near the 0.1% gap; the mixed-precision readout
+        # (compute_energy_readout64) keeps the big (batch, n) array on
+        # device and transfers only the energies + boundary rows;
         # the device->host transfer doubles as the pipeline's single sync.
-        objval = instance.compute_energy_host64(confs)
+        objval = instance.compute_energy_readout64(confs)
 
         if self.timing == "async":
             solve_time = (time.time() - solve_time_start) / batch_size - pp_time

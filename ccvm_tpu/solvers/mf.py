@@ -411,9 +411,11 @@ class MFSolver(CCVMSolver):
             pp_time = 0.0
 
         # Float64 host readout energy: solution statistics need more than
-        # float32 precision near the 0.1% gap (see compute_energy_host64);
+        # float32 precision near the 0.1% gap; the mixed-precision readout
+        # (compute_energy_readout64) keeps the big (batch, n) array on
+        # device and transfers only the energies + boundary rows;
         # the device->host transfer doubles as the pipeline's single sync.
-        objval = instance.compute_energy_host64(problem_variables)
+        objval = instance.compute_energy_readout64(problem_variables)
 
         if self.timing == "async":
             solve_time = (time.time() - solve_time_start) / batch_size - pp_time
