@@ -84,6 +84,79 @@ def _shard_instance_axis(mesh, num_instances, *arrays):
     return tuple(jax.device_put(a, replicated) for a in arrays)
 
 
+@jax.jit
+def _stacked_energies(confs, qs, vs, scales):
+    """(2, I, B): per-instance f32 energies and their abs-value bound
+    inputs, all in one device dispatch."""
+    from ccvm_tpu.problem_classes.boxqp.problem_instance import _energy_kernel
+
+    def one(c, q, v, s):
+        e = _energy_kernel(c, q, v, s)
+        a = _energy_kernel(jnp.abs(c), jnp.abs(q), jnp.abs(v), jnp.abs(s))
+        return jnp.stack([e, a])
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0), out_axes=1)(
+        confs, qs, vs, scales
+    )
+
+
+def _sweep_readout64(instances, confs, qs, vs):
+    """Batched mixed-precision readout for a stacked sweep (see the call
+    site in :func:`sweep_solve`).  Returns float64 energies of shape
+    (I, batch) with every Solution statistic identical to the full-f64
+    path (rigorous per-row bounds; ProblemInstance.compute_energy_readout64
+    documents the contract)."""
+    from ccvm_tpu.problem_classes.boxqp.problem_instance import (
+        ambiguous_readout_rows,
+    )
+
+    num_instances, batch, n = confs.shape
+    scales = jnp.asarray(
+        [float(inst.scaled_by) for inst in instances], jnp.float32
+    )
+    both = np.asarray(
+        _stacked_energies(confs, qs, vs, scales), np.float64
+    )
+    e_all, abs_all = both[0], both[1]
+
+    flat_idx, per_inst_idx = [], []
+    for i, inst in enumerate(instances):
+        if inst.optimal_sol is None:
+            idx = np.arange(batch)
+        else:
+            idx = np.flatnonzero(
+                ambiguous_readout_rows(
+                    e_all[i], inst.optimal_sol, n, abs_e=abs_all[i]
+                )
+            )
+        per_inst_idx.append(idx)
+        flat_idx.append(idx + i * batch)
+    cat = np.concatenate(flat_idx)
+    if cat.size:
+        rows = np.asarray(
+            jnp.take(
+                confs.reshape(num_instances * batch, n),
+                jnp.asarray(cat), axis=0,
+            )
+        )
+        off = 0
+        for i, inst in enumerate(instances):
+            k = per_inst_idx[i].size
+            if k:
+                e_all[i, per_inst_idx[i]] = inst.compute_energy_host64(
+                    rows[off : off + k]
+                )
+                # Clamp kept-f32 rows to the recomputed best (see
+                # compute_energy_readout64): best_objective_value is then
+                # always a float64 evaluation, and the shift is below every
+                # kept row's gap margin.
+                e_all[i] = np.maximum(
+                    e_all[i], e_all[i, per_inst_idx[i]].min()
+                )
+            off += k
+    return e_all
+
+
 def sweep_solve(
     solver,
     instances,
@@ -357,12 +430,13 @@ def sweep_solve(
     else:
         confs = problem_variables
 
-    # Mixed-precision readout per instance: f32 energies computed ON DEVICE,
-    # only the (batch,) energy vectors plus gap-boundary-adjacent rows cross
-    # the tunnel in float64 (ProblemInstance.compute_energy_readout64) — the
-    # full (I, batch, n) transfer at headline batch sizes costs ~1 s.
-    # Multi-process meshes fall back to the gathered full-precision path
-    # (shards not host-addressable).
+    # Mixed-precision readout, batched over the WHOLE sweep: f32 (and
+    # abs-bound) energies for every instance come from ONE vmapped device
+    # call, a single (2, I, batch) transfer replaces the (I, batch, n) bulk
+    # readback, and float64 re-evaluates only the rows the per-row rounding
+    # bound cannot classify (ambiguous_readout_rows), gathered across all
+    # instances in one more transfer.  Multi-process meshes fall back to
+    # the gathered full-precision path (shards not host-addressable).
     if jax.process_count() > 1:
         confs_np = _readback(confs)
         objvals = np.stack(
@@ -372,12 +446,7 @@ def sweep_solve(
             ]
         )
     else:
-        objvals = np.stack(
-            [
-                inst.compute_energy_readout64(confs[i])
-                for i, inst in enumerate(instances)
-            ]
-        )
+        objvals = _sweep_readout64(instances, confs, qs, vs)
 
     # Per-instance Solutions; wall time attributed evenly across the sweep
     # then batch-normalized (reference solve-time semantics, dl_solver.py:933).

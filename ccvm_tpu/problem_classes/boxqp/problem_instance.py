@@ -41,11 +41,63 @@ class InstanceType(enum.Enum):
 
 @functools.partial(jax.jit)
 def _energy_kernel(confs, q_matrix, v_vector, scaled_by):
-    """Batched BoxQP objective 0.5 xQx + Vx, scaled (reference ``:236-241``)."""
-    qx = jnp.einsum("bi,ij->bj", confs, q_matrix, preferred_element_type=confs.dtype)
+    """Batched BoxQP objective 0.5 xQx + Vx, scaled (reference ``:236-241``).
+
+    ``Precision.HIGHEST``: the TPU MXU's DEFAULT matmul precision truncates
+    inputs to bfloat16 (~8e-3 relative error per product) — far beyond the
+    float32 rounding model the mixed-precision readout's per-row bound
+    assumes.  HIGHEST runs the f32-equivalent multi-pass mode; the energy
+    pass is a rounding error of the solve either way.
+    """
+    qx = jnp.einsum(
+        "bi,ij->bj", confs, q_matrix,
+        preferred_element_type=confs.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     energy1 = jnp.sum(confs * qx, axis=-1) * scaled_by
-    energy2 = jnp.einsum("bi,i->b", confs, v_vector) * scaled_by
+    energy2 = jnp.einsum(
+        "bi,i->b", confs, v_vector,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    energy2 = energy2 * scaled_by
     return 0.5 * energy1 + energy2
+
+
+def ambiguous_readout_rows(e, opt, n, abs_e=None, gap_margin=None, top_k=64):
+    """Bool mask of rows a float32 energy pass cannot safely classify.
+
+    Shared by :meth:`ProblemInstance.compute_energy_readout64` and the
+    sweep's batched readout.  ``e`` is the float32-computed (widened)
+    minimization energy vector; a row is ambiguous when its optimality gap
+    sits within the rounding margin of any gap threshold, its |energy| is
+    too small for a well-conditioned relative gap, its gap is non-finite,
+    or it is among the ``top_k`` best rows (exact best value / argmax).
+
+    ``abs_e`` (the device-evaluated absolute-value energy) activates the
+    rigorous per-row bound |fl(e) − e| ≤ γₙ·abs_e; otherwise the fixed
+    ``gap_margin`` (in gap percentage points) applies.
+    """
+    pos = -e  # Solution's positive-objective convention
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gap = (opt - pos) * 100.0 / np.abs(pos)
+        if abs_e is not None:
+            # gamma_n with headroom for coefficient-storage rounding, the
+            # scaled_by multiply, XLA reduction order, and the MXU's
+            # f32-equivalent multi-pass matmul mode.
+            gamma = 16.0 * (n + 8) * 2.0 ** -23
+            de = gamma * np.asarray(abs_e, np.float64) + 1e-12
+            dgap = 100.0 * (abs(opt) + 2.0 * np.abs(pos)) / (pos * pos) * de
+        else:
+            dgap = float(gap_margin)
+        thr = np.array([0.1, 1.0, 2.0, 3.0, 4.0, 5.0, 10.0])
+        dist = np.abs(gap[:, None] - thr[None, :]).min(axis=1)
+        near = dist < dgap
+    near |= np.abs(pos) < 1e-3 * max(abs(opt), 1.0)
+    near |= ~np.isfinite(gap)
+    k = min(int(top_k), e.shape[0])
+    if k:
+        near[np.argpartition(e, k - 1)[:k]] = True
+    return near
 
 
 def parse_instance_file(file_path: str, file_delimiter: str = "\t"):
@@ -286,41 +338,32 @@ class ProblemInstance:
             return self.compute_energy_host64(np.asarray(confs))
 
         e = np.asarray(self.compute_energy(confs), np.float64)
-        pos = -e  # Solution's positive-objective convention
-        with np.errstate(divide="ignore", invalid="ignore"):
-            gap = (opt - pos) * 100.0 / np.abs(pos)
-
-            if gap_margin is None:
-                # Rigorous per-row margin from the abs-energy bound.
-                n = confs.shape[-1]
-                q, v = self._mesh_matched_coefs(confs)
-                abs_e = np.asarray(
-                    _energy_kernel(
-                        jnp.abs(confs), jnp.abs(q), jnp.abs(v),
-                        jnp.float32(abs(self.scaled_by)),
-                    ),
-                    np.float64,
-                )
-                # gamma_n with headroom for coefficient-storage rounding,
-                # the scaled_by multiply, and XLA reduction order.
-                gamma = 4.0 * (n + 8) * 2.0 ** -23
-                de = gamma * abs_e + 1e-12
-                dgap = 100.0 * (abs(opt) + 2.0 * np.abs(pos)) / (pos * pos) * de
-            else:
-                dgap = float(gap_margin)
-
-            thr = np.array([0.1, 1.0, 2.0, 3.0, 4.0, 5.0, 10.0])
-            dist = np.abs(gap[:, None] - thr[None, :]).min(axis=1)
-            near = dist < dgap
-        near |= np.abs(pos) < 1e-3 * max(abs(opt), 1.0)
-        near |= ~np.isfinite(gap)
-        k = min(int(top_k), e.shape[0])
-        if k:
-            near[np.argpartition(e, k - 1)[:k]] = True
+        if gap_margin is None:
+            n = confs.shape[-1]
+            q, v = self._mesh_matched_coefs(confs)
+            abs_e = np.asarray(
+                _energy_kernel(
+                    jnp.abs(confs), jnp.abs(q), jnp.abs(v),
+                    jnp.float32(abs(self.scaled_by)),
+                ),
+                np.float64,
+            )
+        else:
+            abs_e = None
+        near = ambiguous_readout_rows(
+            e, opt, confs.shape[-1], abs_e=abs_e, gap_margin=gap_margin,
+            top_k=top_k,
+        )
         idx = np.flatnonzero(near)
         if idx.size:
             rows = np.asarray(jnp.take(confs, jnp.asarray(idx), axis=0))
             e[idx] = self.compute_energy_host64(rows)
+            # A kept-f32 row can undershoot the true (f64) best energy by up
+            # to its rounding bound and steal max(-e); clamp kept rows to
+            # the recomputed best.  The shift is below every kept row's gap
+            # margin, so no gap statistic can change — and
+            # best_objective_value is always a float64 evaluation.
+            e = np.maximum(e, e[idx].min())
         return e
 
     def scale_coefs(self, scaling_factor):

@@ -177,3 +177,25 @@ def test_sweep_scale_applies_scaling(instances):
     sweep_solve(solver, instances, seed=0, scale=True)
     after = float(np.asarray(instances[0].q_matrix).sum())
     assert before != after
+
+
+def test_sweep_batched_readout_statistics_match_host64(instances):
+    """The batched mixed-precision sweep readout yields IDENTICAL Solution
+    statistics to the full-f64 path for every instance in the stack."""
+    from ccvm_tpu.solution import Solution
+
+    solver = _solver("langevin")
+    swept = sweep_solve(solver, instances, seed=2)
+    for i, inst in enumerate(instances):
+        sol = swept[i]
+        pv = np.asarray(sol.variables["problem_variables"])
+        e_ref = inst.compute_energy_host64(pv)
+        ref = Solution(
+            problem_size=sol.problem_size, batch_size=sol.batch_size,
+            instance_name=sol.instance_name, iterations=sol.iterations,
+            objective_values=e_ref, solve_time=0.0, pp_time=0.0,
+            optimal_value=inst.optimal_sol, best_value=inst.best_sol,
+            num_frac_values=0, solution_vector=None, variables={},
+        )
+        assert sol.solution_performance == ref.solution_performance
+        assert sol.best_objective_value == ref.best_objective_value
