@@ -63,6 +63,18 @@ def _energy_kernel(confs, q_matrix, v_vector, scaled_by):
     return 0.5 * energy1 + energy2
 
 
+@functools.partial(jax.jit)
+def _energy_and_bound_kernel(confs, q_matrix, v_vector, scaled_by):
+    """(2, batch): f32 energies and their abs-value rounding-bound inputs,
+    one dispatch (see :func:`ambiguous_readout_rows`)."""
+    e = _energy_kernel(confs, q_matrix, v_vector, scaled_by)
+    a = _energy_kernel(
+        jnp.abs(confs), jnp.abs(q_matrix), jnp.abs(v_vector),
+        jnp.abs(scaled_by),
+    )
+    return jnp.stack([e, a])
+
+
 def ambiguous_readout_rows(e, opt, n, abs_e=None, gap_margin=None, top_k=64):
     """Bool mask of rows a float32 energy pass cannot safely classify.
 
@@ -337,18 +349,23 @@ class ProblemInstance:
         if opt is None or confs.ndim != 2 or jax.process_count() > 1:
             return self.compute_energy_host64(np.asarray(confs))
 
-        e = np.asarray(self.compute_energy(confs), np.float64)
+        q, v = self._mesh_matched_coefs(confs)
         if gap_margin is None:
-            n = confs.shape[-1]
-            q, v = self._mesh_matched_coefs(confs)
-            abs_e = np.asarray(
-                _energy_kernel(
-                    jnp.abs(confs), jnp.abs(q), jnp.abs(v),
-                    jnp.float32(abs(self.scaled_by)),
+            # One device dispatch and ONE transfer for the f32 energies and
+            # their abs-value rounding-bound inputs (a second np.asarray
+            # costs another tunnel round trip, ~10-30 ms).
+            both = np.asarray(
+                _energy_and_bound_kernel(
+                    confs, q, v, jnp.float32(self.scaled_by)
                 ),
                 np.float64,
             )
+            e, abs_e = both[0], both[1]
         else:
+            e = np.asarray(
+                _energy_kernel(confs, q, v, jnp.float32(self.scaled_by)),
+                np.float64,
+            )
             abs_e = None
         near = ambiguous_readout_rows(
             e, opt, confs.shape[-1], abs_e=abs_e, gap_margin=gap_margin,
