@@ -262,3 +262,52 @@ class TestMixedPrecisionReadout:
         monkeypatch.setattr(type(inst), "compute_energy_host64", counting)
         inst.compute_energy_readout64(confs, top_k=64)
         assert counted["rows"] < 2048 // 2, counted
+
+
+class TestAmbiguousReadoutRows:
+    """Mask-logic edges of the shared row-flagging helper."""
+
+    def _rows(self, **kw):
+        from ccvm_tpu.problem_classes.boxqp.problem_instance import (
+            ambiguous_readout_rows,
+        )
+
+        return ambiguous_readout_rows(**kw)
+
+    def test_fixed_margin_flags_rows_near_thresholds(self):
+        import numpy as np
+
+        opt = 100.0
+        # rows 1/2 sit exactly AT the 0.1% / 1% thresholds (distance 0);
+        # row 0 is at gap 0 (distance 0.1 to the nearest threshold) and
+        # row 3 at gap 100 — both safely classified at margin 0.05.
+        pos = np.array([100.0, 100.0 / 1.001, 100.0 / 1.01, 50.0])
+        e = -pos
+        near = self._rows(e=e, opt=opt, n=16, gap_margin=0.05, top_k=0)
+        assert not near[0] and near[1] and near[2] and not near[3]
+
+    def test_top_k_always_flagged(self):
+        import numpy as np
+
+        e = np.linspace(-100.0, -50.0, 32)  # best (most negative) first
+        near = self._rows(e=e, opt=1e4, n=8, gap_margin=1e-9, top_k=4)
+        assert near[:4].all() and not near[4:].any()
+
+    def test_nonfinite_and_tiny_energies_flagged(self):
+        import numpy as np
+
+        e = np.array([-1e-9, np.nan, np.inf, -50.0])
+        near = self._rows(e=e, opt=100.0, n=8, gap_margin=1e-9, top_k=0)
+        assert near[0] and near[1] and near[2]
+        assert not near[3]
+
+    def test_per_row_bound_uses_abs_energy(self):
+        import numpy as np
+
+        opt = 100.0
+        pos = np.full(4, 100.0 / 1.002)  # gap = 0.2, distance 0.1 to thr 0.1
+        e = -pos
+        tiny = np.full(4, 1.0)      # tight bound -> not flagged
+        huge = np.full(4, 1e7)      # loose bound -> flagged
+        assert not self._rows(e=e, opt=opt, n=16, abs_e=tiny, top_k=0).any()
+        assert self._rows(e=e, opt=opt, n=16, abs_e=huge, top_k=0).all()
