@@ -123,7 +123,8 @@ class _NodeLP:
     cannot (round-3: ~45% root gaps at N=40 were unclosable).
     """
 
-    def __init__(self, q, v, triangle_rounds=3, max_cuts_per_round=250):
+    def __init__(self, q, v, root_rounds=10, node_rounds=3,
+                 max_cuts_per_round=300, max_pool=6000):
         self.q, self.v = q, v
         n = q.shape[0]
         self.n = n
@@ -133,13 +134,22 @@ class _NodeLP:
         for k, (i, j) in enumerate(pairs):
             kidx[i, j] = kidx[j, i] = n + k
         self.kidx = kidx
-        self.triangle_rounds = triangle_rounds
+        self.root_rounds = root_rounds
+        self.node_rounds = node_rounds
         self.max_cuts_per_round = max_cuts_per_round
+        self.max_pool = max_pool
         cost = np.zeros(n + len(pairs))
         cost[:n] = -v
         for k, (i, j) in enumerate(pairs):
             cost[n + k] = -(q[i, j] if i == j else 2.0 * q[i, j]) * 0.5
         self.cost = cost
+        # Global cut pool shared across the whole B&B tree.  Triangle cuts
+        # are valid on all of [0,1]^n and eigenvalue cuts derive from
+        # X >= x x^T, so every pooled cut is valid at every node — children
+        # inherit the parent's (and every other node's) cuts for free
+        # instead of re-separating from scratch.
+        self.pool = []          # list of (entries, rhs)
+        self.pool_idle = []     # consecutive node-solves each cut was slack
 
     def _base_rows(self, l, u):
         n = self.n
@@ -212,10 +222,64 @@ class _NodeLP:
                 ))
         return cuts
 
-    def solve(self, l, u):
-        """Return (ub, x_lp, X_err) or (None,)*3 if the LP fails."""
+    def _separate_eigen(self, x, Xm, max_cuts=12):
+        """Linearized PSD ("eigenvalue") cuts — SDP strength inside the LP.
+
+        The exact moment matrix satisfies X >= x x^T, so for ANY w,
+        w^T X w >= (w^T x)^2 >= 2(w^T x̄)(w^T x) − (w^T x̄)^2 (tangent at the
+        current LP point x̄).  The tangent cut is violated at (x̄, X̄) exactly
+        when w^T (X̄ − x̄ x̄^T) w < 0 — i.e. for eigenvectors of the moment
+        defect with negative eigenvalue (Sherali–Fraticelli semidefinite
+        cutting planes).  Iterating these emulates the Shor SDP bound that
+        pure McCormick + triangle LPs cannot reach.
+        """
+        M = Xm - np.outer(x, x)
+        M = 0.5 * (M + M.T)
+        evals, evecs = np.linalg.eigh(M)
+        cuts = []
+        for idx in np.argsort(evals):
+            lam = evals[idx]
+            if lam >= -1e-7 or len(cuts) >= max_cuts:
+                break
+            w = evecs[:, idx]
+            wx = float(w @ x)
+            # −(w^T X w) + 2 wx (w^T x) <= wx^2
+            entries = []
+            for i in range(self.n):
+                if abs(w[i]) < 1e-12 and abs(2.0 * wx * w[i]) < 1e-12:
+                    continue
+                entries.append((i, 2.0 * wx * w[i]))
+            for k, (i, j) in enumerate(self.pairs):
+                coef = -(w[i] * w[i]) if i == j else -2.0 * w[i] * w[j]
+                if abs(coef) > 1e-12:
+                    entries.append((self.n + k, coef))
+            cuts.append((entries, wx * wx))
+        return cuts
+
+    def _prune_pool(self):
+        """Drop cuts that have been slack for many consecutive solves."""
+        if len(self.pool) <= self.max_pool:
+            return
+        keep = [i for i, idle in enumerate(self.pool_idle) if idle < 8]
+        if len(keep) > self.max_pool:
+            order = np.argsort([self.pool_idle[i] for i in keep])
+            keep = [keep[i] for i in order[: self.max_pool]]
+        self.pool = [self.pool[i] for i in keep]
+        self.pool_idle = [self.pool_idle[i] for i in keep]
+
+    def solve(self, l, u, rounds=None, stop_at=None):
+        """Return (ub, x_lp, X_err) or (None,)*3 if the LP fails.
+
+        Every solve includes the shared cut pool; newly separated triangle
+        and eigenvalue cuts join the pool (globally valid, so later nodes
+        reuse them).  ``rounds`` bounds the separation loop (more at the
+        root, fewer at children).  ``stop_at``: stop separating as soon as
+        the bound already fathoms the node (UB <= stop_at).
+        """
+        if rounds is None:
+            rounds = self.node_rounds
         n = self.n
-        rows, cols, vals, rhs, r = self._base_rows(l, u)
+        base_rows, base_cols, base_vals, base_rhs, r0 = self._base_rows(l, u)
         lb = np.empty(n + len(self.pairs))
         ub_ = np.empty(n + len(self.pairs))
         lb[:n], ub_[:n] = l, u
@@ -226,31 +290,61 @@ class _NodeLP:
             lb[n + k], ub_[n + k] = corners.min(), corners.max()
         bounds = np.stack([lb, ub_], axis=1)
 
+        self._prune_pool()
+        base_rows = np.asarray(base_rows, dtype=np.int64)
+        base_cols = np.asarray(base_cols, dtype=np.int64)
+        base_vals = np.asarray(base_vals, dtype=np.float64)
+        base_rhs = np.asarray(base_rhs, dtype=np.float64)
         res = None
-        for _ in range(self.triangle_rounds + 1):
+        for round_no in range(rounds + 1):
+            pool_start = r0
+            if self.pool:
+                lens = np.array([len(c) for c, _, _ in self.pool])
+                prow = np.repeat(np.arange(len(self.pool)) + r0, lens)
+                pcol = np.concatenate([c for c, _, _ in self.pool])
+                pval = np.concatenate([v for _, v, _ in self.pool])
+                prhs = np.array([b for _, _, b in self.pool])
+                rows = np.concatenate([base_rows, prow])
+                cols = np.concatenate([base_cols, pcol])
+                vals = np.concatenate([base_vals, pval])
+                b_ub = np.concatenate([base_rhs, prhs])
+                r = r0 + len(self.pool)
+            else:
+                rows, cols, vals, b_ub = (base_rows, base_cols, base_vals,
+                                          base_rhs)
+                r = r0
             A = coo_matrix(
                 (vals, (rows, cols)), shape=(r, n + len(self.pairs))
-            )
+            ).tocsr()
             res = linprog(
-                self.cost, A_ub=A.tocsr(), b_ub=np.asarray(rhs),
-                bounds=bounds, method="highs",
+                self.cost, A_ub=A, b_ub=b_ub, bounds=bounds, method="highs",
             )
             if not res.success:
                 return None, None, None
+            # Track pool-cut slack to expire cuts that stopped binding.
+            if self.pool:
+                slack = b_ub[pool_start:] - (A[pool_start:] @ res.x)
+                for i, s in enumerate(slack):
+                    self.pool_idle[i] = 0 if s < 1e-7 else self.pool_idle[i] + 1
             x = res.x[:n]
             Xm = np.empty((n, n))
             for k, (i, j) in enumerate(self.pairs):
                 Xm[i, j] = Xm[j, i] = res.x[n + k]
+            if round_no == rounds:
+                break
+            if stop_at is not None and -res.fun <= stop_at:
+                break  # bound already fathoms this node
             cuts = self._separate_triangles(x, Xm)
+            cuts += self._separate_eigen(x, Xm)
             if not cuts:
                 break
             for entries, b in cuts:
-                for c, a in entries:
-                    rows.append(r)
-                    cols.append(c)
-                    vals.append(a)
-                rhs.append(b)
-                r += 1
+                self.pool.append((
+                    np.array([e[0] for e in entries], dtype=np.int64),
+                    np.array([e[1] for e in entries], dtype=np.float64),
+                    float(b),
+                ))
+                self.pool_idle.append(0)
 
         x = res.x[:n]
         err = np.zeros(n)
@@ -272,7 +366,8 @@ def certify(q, v, incumbent_val, incumbent_x, tol=1e-5,
     best_val, best_x = incumbent_val, incumbent_x
 
     root_l, root_u = np.zeros(n), np.ones(n)
-    ub, x_lp, err = lp.solve(root_l, root_u)
+    ub, x_lp, err = lp.solve(root_l, root_u, rounds=lp.root_rounds,
+                             stop_at=best_val + tol)
     if ub is None:
         return False, best_val, best_x, np.inf, 0, 0.0
     _, val = _active_set_polish(q, v, x_lp)
@@ -307,7 +402,7 @@ def certify(q, v, incumbent_val, incumbent_x, tol=1e-5,
                 cu[bi] = split
             else:
                 cl[bi] = split
-            c_ub, c_x, c_err = lp.solve(cl, cu)
+            c_ub, c_x, c_err = lp.solve(cl, cu, stop_at=best_val + tol)
             if c_ub is None or c_ub <= best_val + tol:
                 continue
             _, val = _active_set_polish(q, v, c_x)
