@@ -110,6 +110,57 @@ def _tts_at_optimal(name, solver, size):
         return None
 
 
+def _device_rate(name, solver, instance, pk, reps=4):
+    """Amortised device throughput in trajectory-iterations/s.
+
+    Dispatches ``reps`` raw solves back-to-back without intermediate host
+    syncs and blocks once at the end, so the per-dispatch tunnel round trip
+    (the dominant source of the ~50% session-to-session e2e wall variance,
+    docs/perf_analysis.md "Measurement honesty") amortises away.  This is
+    the stable, reproducible figure; the e2e wall is reported alongside it.
+    """
+    import jax
+
+    solver.q_matrix = instance.q_matrix
+    solver.v_vector = instance.v_vector
+    solver.solution_bounds = instance.solution_bounds
+    iterations = pk["iterations"]
+
+    def dispatch(seed):
+        key = jax.random.PRNGKey(seed)
+        if name == "dl":
+            params = solver._make_params(
+                pk["pump"], solver.S, pk["dt"], pk["noise_ratio"],
+                pk["feedback_scale"], 0.05, iterations,
+            )
+            return solver._solve(
+                key, params, iterations, True, pk["pump"] > 1, None
+            )
+        if name == "mf":
+            params = solver._make_params(
+                pk["pump"], pk["S"], pk["dt"], pk["j"], pk["feedback_scale"],
+                0.01, iterations,
+            )
+            return solver._solve(key, params, iterations, True, None)
+        if name == "langevin":
+            params = solver._make_params(
+                pk["S"], pk["dt"], pk["sigma"], pk["feedback_scale"]
+            )
+            return solver._solve(key, params, iterations, None)
+        params = solver._make_params(
+            pk["pump"], pk["S"], pk["dt"], pk["sigma"], pk["feedback_scale"],
+            iterations,
+        )
+        return solver._solve(key, params, iterations, True, None)
+
+    jax.block_until_ready(dispatch(0))  # warm-up (shapes already compiled)
+    t0 = time.perf_counter()
+    outs = [dispatch(rep + 1) for rep in range(reps)]
+    jax.block_until_ready(outs)
+    wall = time.perf_counter() - t0
+    return iterations * solver.batch_size * reps / wall
+
+
 def main():
     import jax
 
@@ -164,6 +215,9 @@ def main():
         if wall < best_wall:
             best_wall, solution = wall, sol
     rate = ITERATIONS * HEADLINE_BATCH / best_wall
+    dev_rate = _device_rate(
+        "dl", big, instance, _tuned_params(headline_size), reps=4
+    )
     print(
         json.dumps(
             {
@@ -172,13 +226,17 @@ def main():
                 "value": round(rate, 1),
                 "unit": "trajectory-iterations/s",
                 "vs_baseline": round(rate / BASELINE_RATE, 2),
+                "device_amortised_rate": round(dev_rate, 1),
             }
         )
     )
     perf = solution.solution_performance
     print(
         f"# headline: N={headline_size} batch={HEADLINE_BATCH} wall="
-        f"{best_wall:.3f}s P(0.1%)={perf['optimal']:.3f}"
+        f"{best_wall:.3f}s device-amortised {dev_rate/1e6:.0f}M traj-iter/s"
+        f" (e2e wall includes one tunnel round trip; +-50% across sessions,"
+        f" docs/perf_analysis.md)"
+        f" P(0.1%)={perf['optimal']:.3f}"
         f" P(1%)={perf['one_percent']:.3f}"
         f" best={solution.best_objective_value:.3f}"
         f"/{solution.optimal_value:.3f}",
@@ -220,7 +278,15 @@ def main():
         f" certified reference set):",
         file=sys.stderr,
     )
-    print("# solver      wall_s   traj-iter/s   P(0.1%)   TTS50@0.1%(s)",
+    print(
+        "# CAVEAT: TTS columns use each solver's own simulated machine model"
+        f" ({', '.join(f'{k}: {v}' for k, v in MACHINES.items())})"
+        " — pumped has no reference hardware model, so its TTS clock is the"
+        " simulated-CPU one; TTS is NOT comparable across solvers.",
+        file=sys.stderr,
+    )
+    print("# solver      wall_s   traj-iter/s   device-amortised   P(0.1%)"
+          "   TTS50@0.1%(s)",
           file=sys.stderr)
     path = _first_instance(headline_size)
     for name, cls in classes.items():
@@ -242,12 +308,14 @@ def main():
             if wall < best_wall:
                 best_wall, sol = wall, s
         r = ITERATIONS * HEADLINE_BATCH / best_wall
+        dr = _device_rate(name, solver, instance,
+                          _tuned_params(headline_size, name), reps=3)
         tts = _tts_at_optimal(name, solver, headline_size)
         tts_s = "n/a" if tts is None else (
             "inf" if tts == float("inf") else f"{tts:.4g}"
         )
         print(
-            f"# {name:<10}  {best_wall:6.3f}  {r:12.0f}   "
+            f"# {name:<10}  {best_wall:6.3f}  {r:12.0f}   {dr:12.0f}   "
             f"{sol.solution_performance['optimal']:.3f}     {tts_s}",
             file=sys.stderr,
         )
