@@ -1,10 +1,13 @@
-.PHONY: test bench build up exec down
+.PHONY: test bench docs build up exec down
 
 test:
 	python -m pytest tests/ -q
 
 bench:
 	python bench.py
+
+docs:
+	python tools/build_docs.py
 
 build:
 	docker compose -f docker/docker-compose.yaml build

@@ -33,6 +33,9 @@ def tune_solver(
     tuning_batch_size=200,
     seed=0,
     use_sweep=True,
+    algorithm_parameters=None,
+    confirm_seeds=1,
+    confirm_top_k=5,
     **_,
 ):
     """Grid-search ``parameter_ranges`` per problem size.
@@ -52,6 +55,15 @@ def tune_solver(
         tuning_batch_size: trajectories per scoring run.
         use_sweep: when False, fall back to one solver call per
             (candidate, instance) — the pre-stacking behaviour.
+        algorithm_parameters: optional :class:`AdamParameters` — tunes the
+            Adam-in-the-loop dynamics variant instead of the original.
+        confirm_seeds: when > 1, the single-seed grid pass is followed by a
+            confirmation pass: the top ``confirm_top_k`` candidates are
+            re-scored with ``confirm_seeds`` independent seeds and ranked by
+            the mean score.  At P~0.6 and batch 200 the per-candidate std of
+            the 0.1%-gap fraction is ~0.035, so adjacent fine-grid candidates
+            are indistinguishable from one seed; confirmation makes the
+            winner statistically meaningful.
 
     Returns:
         dict: the winning parameter_key (size -> params).
@@ -77,13 +89,12 @@ def tune_solver(
                 raise KeyError(
                     f"The parameter key has no entry for problem size {size}."
                 )
-            best_score = None
-            for cand in candidates:
-                params = dict(base_key[size])
-                params.update(cand)
+
+            def _score(params, score_seed):
                 solver._parameter_key = {**base_key, size: params}
                 solutions = _score_candidate(
-                    solver, insts, post_processor, seed, use_sweep
+                    solver, insts, post_processor, score_seed, use_sweep,
+                    algorithm_parameters,
                 )
                 opt_frac = one_frac = best_obj = 0.0
                 for solution in solutions:
@@ -91,29 +102,58 @@ def tune_solver(
                     opt_frac += perf["optimal"]
                     one_frac += perf["one_percent"]
                     best_obj += solution.best_objective_value
-                score = (opt_frac, one_frac, best_obj)
+                return (opt_frac, one_frac, best_obj)
+
+            scored = []
+            for cand in candidates:
+                params = dict(base_key[size])
+                params.update(cand)
+                score = _score(params, seed)
                 logger.info("tune size=%s cand=%s score=%s", size, cand, score)
-                if best_score is None or score > best_score:
-                    best_score = score
-                    best_key[size] = params
+                scored.append((score, params))
+            scored.sort(key=lambda t: t[0], reverse=True)
+
+            if confirm_seeds > 1 and len(scored) > 1:
+                # Confirmation pass: mean score of the top-k over independent
+                # seeds (the initial seed's score is included in the mean).
+                finalists = scored[: max(1, confirm_top_k)]
+                confirmed = []
+                for score0, params in finalists:
+                    totals = list(score0)
+                    for extra in range(1, confirm_seeds):
+                        s = _score(params, seed + 7919 * extra)
+                        totals = [a + b for a, b in zip(totals, s)]
+                    mean_score = tuple(t / confirm_seeds for t in totals)
+                    logger.info(
+                        "tune confirm size=%s params=%s mean=%s",
+                        size, params, mean_score,
+                    )
+                    confirmed.append((mean_score, params))
+                confirmed.sort(key=lambda t: t[0], reverse=True)
+                best_key[size] = confirmed[0][1]
+            else:
+                best_key[size] = scored[0][1]
     finally:
         solver.batch_size = orig_batch
         solver._parameter_key = best_key
     return best_key
 
 
-def _score_candidate(solver, insts, post_processor, seed, use_sweep):
+def _score_candidate(solver, insts, post_processor, seed, use_sweep,
+                     algorithm_parameters=None):
     """All tuning solves for one candidate: stacked sweep or serial loop."""
     if use_sweep and len(insts) > 1:
         from ccvm_tpu.parallel.sweep import sweep_solve
 
         try:
             return sweep_solve(
-                solver, insts, post_processor=post_processor, seed=seed
+                solver, insts, post_processor=post_processor, seed=seed,
+                algorithm_parameters=algorithm_parameters,
             )
         except ValueError as e:  # e.g. a post-processor the sweep lacks
             logger.info("tune: sweep path unavailable (%s); serial scoring", e)
     return [
-        solver(inst, post_processor=post_processor, seed=seed)
+        solver(inst, post_processor=post_processor, seed=seed,
+               algorithm_parameters=algorithm_parameters)
         for inst in insts
     ]

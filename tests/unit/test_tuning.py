@@ -148,3 +148,51 @@ def test_setting_parameter_key_clears_is_tuned(instance):
             "feedback_scale": 1.0}
     }
     assert not solver.is_tuned
+
+
+def test_tune_confirmation_pass_rescores_top_k(tmp_path, monkeypatch):
+    """confirm_seeds > 1 re-scores the top-k finalists with extra seeds and
+    picks the winner by MEAN score (one-seed grid scores are too noisy to
+    separate adjacent fine-grid candidates)."""
+    import ccvm_tpu.parallel.sweep as sweep_mod
+    from ccvm_tpu import tuning
+
+    insts = [_make_instance(tmp_path, s, f"c{s}.in") for s in (1, 2, 3)]
+    solver = _solver()
+    for inst in insts:
+        inst.scale_coefs(solver.get_scaling_factor(inst.q_matrix))
+
+    seeds_seen = []
+    real_sweep = sweep_mod.sweep_solve
+
+    def counting_sweep(*args, **kwargs):
+        seeds_seen.append(kwargs.get("seed"))
+        return real_sweep(*args, **kwargs)
+
+    monkeypatch.setattr(sweep_mod, "sweep_solve", counting_sweep)
+    best = tuning.tune_solver(
+        solver, insts, parameter_ranges={"dt": [0.005, 0.02]},
+        tuning_batch_size=16, seed=3, confirm_seeds=3, confirm_top_k=2,
+    )
+    # 2 grid dispatches + 2 finalists x 2 extra confirmation seeds = 6.
+    assert len(seeds_seen) == 6
+    assert len(set(seeds_seen)) == 3  # three distinct seeds used
+    assert best[N]["dt"] in (0.005, 0.02)
+
+
+def test_tune_accepts_algorithm_parameters(tmp_path):
+    """Adam-in-the-loop dynamics can be tuned (threaded through the sweep)."""
+    from ccvm_tpu import tuning
+    from ccvm_tpu.solvers.algorithms import AdamParameters
+
+    insts = [_make_instance(tmp_path, s, f"a{s}.in") for s in (1, 2)]
+    solver = _solver()
+    for inst in insts:
+        inst.scale_coefs(solver.get_scaling_factor(inst.q_matrix))
+
+    best = tuning.tune_solver(
+        solver, insts, parameter_ranges={"dt": [0.02]},
+        tuning_batch_size=8,
+        algorithm_parameters=AdamParameters(alpha=0.1, beta1=0.9, beta2=0.999),
+    )
+    assert best[N]["dt"] == 0.02
