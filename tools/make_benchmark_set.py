@@ -181,16 +181,21 @@ def write_instance(path, n, seed, q, v, opt, x, optimality=False,
         f.write("\t".join(f"{val:.6f}" for val in x) + "\n")
 
 
-def make_set(out_dir, sizes, per_size, starts, single_test=False):
+def make_set(out_dir, sizes, per_size, starts, single_test=False,
+             seed_offset=0, prefix="tuningH0"):
+    # seed_offset > 0 produces a disjoint (held-out) instance set: the
+    # reference's InstanceType enum distinguishes "tuning" from "test"
+    # instances (problem_instance.py:12-17 both repos) precisely so
+    # parameters are never fitted on the instances they are scored on.
     for n in sizes:
         size_dir = os.path.join(out_dir, f"Size{n}")
         os.makedirs(size_dir, exist_ok=True)
-        for seed in range(per_size):
+        for seed in range(seed_offset, seed_offset + per_size):
             q, v = sample_instance(n, seed)
             t0 = time.perf_counter()
             opt, x = best_known_max(q, v, starts=starts, seed=seed)
             st = time.perf_counter() - t0
-            path = os.path.join(size_dir, f"tuningH0{n}-100-{seed}.in")
+            path = os.path.join(size_dir, f"{prefix}{n}-100-{seed}.in")
             write_instance(path, n, seed, q, v, opt, x, search_time=st)
             print(f"wrote {path}: best-known {opt:.6f} ({st:.1f}s)")
     if single_test:
@@ -212,8 +217,12 @@ if __name__ == "__main__":
     ap.add_argument("--per-size", type=int, default=50)
     ap.add_argument("--starts", type=int, default=8192)
     ap.add_argument("--single-test", action="store_true")
+    ap.add_argument("--seed-offset", type=int, default=0)
+    ap.add_argument("--prefix", default="tuningH0")
     args = ap.parse_args()
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sizes = [int(s) for s in args.sizes.split(",") if s]
-    make_set(args.out_dir, sizes, args.per_size, args.starts, args.single_test)
+    make_set(args.out_dir, sizes, args.per_size, args.starts,
+             args.single_test, seed_offset=args.seed_offset,
+             prefix=args.prefix)
