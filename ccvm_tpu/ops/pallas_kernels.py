@@ -110,7 +110,7 @@ def _seed_from_key(key):
 
 
 def _vmem_ok(tile: int, np_: int, n_state_arrays: int) -> bool:
-    state = tile * np_ * 4 * (n_state_arrays + _TEMP_ROWS)
+    state = tile * np_ * 4 * (2 * n_state_arrays + _TEMP_ROWS)
     fixed = np_ * np_ * 4 + 4 * np_
     return state + fixed <= _VMEM_BUDGET
 
@@ -121,10 +121,16 @@ def _tile_plan(batch: int, np_: int, n_state_arrays: int):
     Grid programs run sequentially on the core; tiling costs only the Q/V
     revisit (free: constant index map) and padding waste, so we pick the
     largest tile that fits and split the batch as evenly as possible.
+
+    The per-row budget counts each state array TWICE: Mosaic double-buffers
+    the output DMA across grid steps, so at large grids the scoped-vmem
+    stack holds the live state block plus the in-flight copy (observed as a
+    compile-time scoped-vmem OOM for the 3-state MF kernel at batch 131072
+    before this was accounted for).
     """
     pb = _round_up(batch, _SUBLANE)
     fixed = np_ * np_ * 4 + 4 * np_
-    per_row = np_ * 4 * (n_state_arrays + _TEMP_ROWS)
+    per_row = np_ * 4 * (2 * n_state_arrays + _TEMP_ROWS)
     max_t = max((_VMEM_BUDGET - fixed) // per_row // _SUBLANE * _SUBLANE,
                 _SUBLANE)
     if max_t >= pb:
