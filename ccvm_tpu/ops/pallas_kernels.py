@@ -223,7 +223,29 @@ def _normal_pair_popcount(shape):
     return one(0), one(1)
 
 
-_RNG_NAMES = ("popcount32", "popcount", "box_muller")
+def _normal_pair_popcount16(shape):
+    """Two ~N(0,1) arrays from ONE 32-bit word per element: the word's two
+    16-bit halves give independent Binomial(16, 1/2) popcounts, centred and
+    scaled (variance 4 -> x0.5).  Mean/variance exact, skew 0, excess
+    kurtosis -1/8, lattice spacing 0.5 sigma, support +-4 sigma.  Halves the
+    hardware-PRNG word generation of the pair draw, which roofline
+    measurement showed to be ~47% of the fused DL step (popcount32's two
+    word sets cost ~40 us/step of 86.6 at batch 65536, N=70); weak-order-1
+    Euler-Maruyama only needs the first two moments (see
+    _normal_one_popcount), and DL quality on the certified set is validated
+    unchanged (QUALITY.md Adam/roofline notes, tools/tpu_validate.py).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    lo = b & jnp.int32(0xFFFF)
+    hi = jax.lax.shift_right_logical(b, 16) & jnp.int32(0xFFFF)
+    z1 = (jax.lax.population_count(lo) - 8).astype(jnp.float32) * 0.5
+    z2 = (jax.lax.population_count(hi) - 8).astype(jnp.float32) * 0.5
+    return z1, z2
+
+
+_RNG_NAMES = ("popcount32", "popcount16", "popcount", "box_muller")
 
 # Safety clamp for the kernels whose dynamics have no per-step box clamp
 # (DL quadratures, MF mu).  Their cubic/pump damping keeps trajectories at
@@ -254,6 +276,8 @@ def _noise_pair(shape, noise_scale, rng="popcount32"):
         return z, z
     if rng == "popcount32":
         z1, z2 = _normal_one_popcount(shape), _normal_one_popcount(shape)
+    elif rng == "popcount16":
+        z1, z2 = _normal_pair_popcount16(shape)
     elif rng == "popcount":
         z1, z2 = _normal_pair_popcount(shape)
     elif rng == "box_muller":
@@ -271,7 +295,9 @@ def _noise_one(shape, noise_scale, rng="popcount32"):
     pair would waste half the PRNG words."""
     if noise_scale == 0.0:
         return jnp.zeros(shape, jnp.float32)
-    if rng == "popcount32":
+    if rng in ("popcount32", "popcount16"):
+        # Single draws already use one word per element; the popcount16
+        # half-word split only pays off for pair draws.
         z = _normal_one_popcount(shape)
     elif rng == "popcount":
         z, _ = _normal_pair_popcount(shape)

@@ -74,3 +74,29 @@ def test_unrolled_tail_loop_matches_oracle(iters):
         interpret=True, noise_scale=0.0,
     )
     np.testing.assert_allclose(c_pal, c_lax, atol=1e-5)
+
+
+def test_popcount16_halves_are_unit_normals():
+    """popcount of each 16-bit half of a u32 is Binomial(16, 1/2): mean 8,
+    var 4 — (pc - 8) * 0.5 must be zero-mean unit-variance, and the two
+    halves independent (they come from disjoint bits)."""
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2**32, size=100_000, dtype=np.uint64)
+    lo = np.array([bin(int(b) & 0xFFFF).count("1") for b in bits[:40_000]])
+    hi = np.array([bin((int(b) >> 16) & 0xFFFF).count("1")
+                   for b in bits[:40_000]])
+    z1, z2 = (lo - 8) * 0.5, (hi - 8) * 0.5
+    for z in (z1, z2):
+        assert abs(z.mean()) < 0.03
+        assert abs(z.std() - 1.0) < 0.02
+    corr = np.corrcoef(z1, z2)[0, 1]
+    assert abs(corr) < 0.02
+
+
+def test_popcount16_accepted_by_noise_helpers():
+    """The popcount16 name must be accepted for both pair and single draws
+    (single draws fall back to the one-word-per-normal generator)."""
+    z1, z2 = pk._noise_pair((8, 128), 0.0, rng="popcount16")
+    assert z1.shape == (8, 128) and z2.shape == (8, 128)
+    z = pk._noise_one((8, 128), 0.0, rng="popcount16")
+    assert z.shape == (8, 128)
