@@ -107,6 +107,24 @@ def run_sweep(args):
             tuned = json.load(f)
         print(f"using tuned parameters from {args.params}")
 
+    optima_override = {}
+    if getattr(args, "optima_override", ""):
+        import json
+
+        with open(args.optima_override) as f:
+            optima_override = json.load(f)
+        print(f"scoring against {len(optima_override)} corrected optima "
+              f"from {args.optima_override}")
+
+    def _apply_override(instance, size):
+        # Corrected-optima scoring: headers proven to understate the true
+        # optimum (see QUALITY.md header audit) are overridden so the
+        # 0.1%-gap statistic is not inflated.
+        val = optima_override.get(f"Size{size}/{instance.name}")
+        if val is not None:
+            instance.optimal_sol = float(val)
+        return instance
+
     summary = []
     for name in solver_names:
         # DL ships without post-processing (like the reference's own DL
@@ -146,8 +164,11 @@ def run_sweep(args):
                 from ccvm_tpu.parallel import sweep_solve
 
                 instances = [
-                    ProblemInstance(
-                        instance_type="tuning", file_path=f, device=device
+                    _apply_override(
+                        ProblemInstance(
+                            instance_type="tuning", file_path=f, device=device
+                        ),
+                        size,
                     )
                     for f in files
                 ]
@@ -167,10 +188,13 @@ def run_sweep(args):
                 # re-queues the instance instead of aborting the sweep.
                 def solve_one(work):
                     idx, instance_file = work
-                    instance = ProblemInstance(
-                        instance_type="tuning",
-                        file_path=instance_file,
-                        device=device,
+                    instance = _apply_override(
+                        ProblemInstance(
+                            instance_type="tuning",
+                            file_path=instance_file,
+                            device=device,
+                        ),
+                        size,
                     )
                     instance.scale_coefs(
                         solver.get_scaling_factor(instance.q_matrix)
@@ -277,6 +301,9 @@ if __name__ == "__main__":
                     help="vmap all instances of a size into one jit "
                          "(instance-sweep parallelism)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--optima-override", default="",
+                    help="JSON {'SizeN/instance': value} of corrected optima "
+                         "to score against (see QUALITY.md header audit)")
     ap.add_argument("--params", default="",
                     help="JSON file of tuned per-solver per-size parameters "
                          "(see tools/tune_benchmark_set.py)")
