@@ -109,10 +109,19 @@ def _seed_from_key(key):
     return one(key)[None]
 
 
+def _vmem_per_row(np_: int, n_state_arrays: int) -> int:
+    """Scoped-vmem bytes per state row: each state array counted twice
+    (live block + Mosaic's double-buffered output DMA) plus temporaries."""
+    return np_ * 4 * (2 * n_state_arrays + _TEMP_ROWS)
+
+
+def _vmem_fixed(np_: int) -> int:
+    return np_ * np_ * 4 + 4 * np_
+
+
 def _vmem_ok(tile: int, np_: int, n_state_arrays: int) -> bool:
-    state = tile * np_ * 4 * (2 * n_state_arrays + _TEMP_ROWS)
-    fixed = np_ * np_ * 4 + 4 * np_
-    return state + fixed <= _VMEM_BUDGET
+    return (tile * _vmem_per_row(np_, n_state_arrays) + _vmem_fixed(np_)
+            <= _VMEM_BUDGET)
 
 
 def _tile_plan(batch: int, np_: int, n_state_arrays: int):
@@ -129,8 +138,8 @@ def _tile_plan(batch: int, np_: int, n_state_arrays: int):
     before this was accounted for).
     """
     pb = _round_up(batch, _SUBLANE)
-    fixed = np_ * np_ * 4 + 4 * np_
-    per_row = np_ * 4 * (2 * n_state_arrays + _TEMP_ROWS)
+    fixed = _vmem_fixed(np_)
+    per_row = _vmem_per_row(np_, n_state_arrays)
     max_t = max((_VMEM_BUDGET - fixed) // per_row // _SUBLANE * _SUBLANE,
                 _SUBLANE)
     if max_t >= pb:

@@ -122,6 +122,19 @@ def run_sweep(args):
         # 0.1%-gap statistic is not inflated.
         val = optima_override.get(f"Size{size}/{instance.name}")
         if val is not None:
+            # Corrections exist because headers UNDERSTATE the optimum; an
+            # override below the header means the file almost certainly
+            # belongs to a different instance set that happens to share the
+            # filename (e.g. reference corrections applied to the bundled
+            # set) — scoring against it would silently corrupt P(0.1%).
+            if float(val) < instance.optimal_sol - 1e-6 * abs(
+                    instance.optimal_sol):
+                raise ValueError(
+                    f"optima override for Size{size}/{instance.name} "
+                    f"({float(val):.6f}) is BELOW the file's own optimum "
+                    f"({instance.optimal_sol:.6f}); the override file does "
+                    "not match this instance set."
+                )
             instance.optimal_sol = float(val)
         return instance
 

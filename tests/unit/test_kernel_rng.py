@@ -93,10 +93,23 @@ def test_popcount16_halves_are_unit_normals():
     assert abs(corr) < 0.02
 
 
-def test_popcount16_accepted_by_noise_helpers():
-    """The popcount16 name must be accepted for both pair and single draws
-    (single draws fall back to the one-word-per-normal generator)."""
-    z1, z2 = pk._noise_pair((8, 128), 0.0, rng="popcount16")
+def test_popcount16_dispatches_to_half_word_generator(monkeypatch):
+    """rng="popcount16" must reach _normal_pair_popcount16 for pair draws
+    and the one-word generator for single draws (noise_scale != 0 so the
+    zero-noise shortcut cannot mask a broken dispatch — the TPU primitive
+    itself is stubbed out since it does not exist on CPU)."""
+    calls = []
+    monkeypatch.setattr(
+        pk, "_normal_pair_popcount16",
+        lambda shape: calls.append("pair16")
+        or (jnp.zeros(shape), jnp.zeros(shape)),
+    )
+    monkeypatch.setattr(
+        pk, "_normal_one_popcount",
+        lambda shape: calls.append("one32") or jnp.zeros(shape),
+    )
+    z1, z2 = pk._noise_pair((8, 128), 1.0, rng="popcount16")
     assert z1.shape == (8, 128) and z2.shape == (8, 128)
-    z = pk._noise_one((8, 128), 0.0, rng="popcount16")
+    z = pk._noise_one((8, 128), 1.0, rng="popcount16")
     assert z.shape == (8, 128)
+    assert calls == ["pair16", "one32"]

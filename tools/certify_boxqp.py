@@ -148,7 +148,7 @@ class _NodeLP:
         # X >= x x^T, so every pooled cut is valid at every node — children
         # inherit the parent's (and every other node's) cuts for free
         # instead of re-separating from scratch.
-        self.pool = []          # list of (entries, rhs)
+        self.pool = []          # list of (cols_array, vals_array, rhs)
         self.pool_idle = []     # consecutive node-solves each cut was slack
 
     def _base_rows(self, l, u):
@@ -246,7 +246,7 @@ class _NodeLP:
             # −(w^T X w) + 2 wx (w^T x) <= wx^2
             entries = []
             for i in range(self.n):
-                if abs(w[i]) < 1e-12 and abs(2.0 * wx * w[i]) < 1e-12:
+                if abs(w[i]) < 1e-12:
                     continue
                 entries.append((i, 2.0 * wx * w[i]))
             for k, (i, j) in enumerate(self.pairs):

@@ -120,14 +120,19 @@ def run_side(side, args):
                 key = result_key(solver_name, size, inst_name, args.params)
                 if key in done:
                     continue
+                kwargs = {}
                 if side == "ref":
                     import torch
                     torch.manual_seed(1000 * size + inst_idx)
+                else:
+                    # Deterministic per-instance seed so the ours side is
+                    # re-runnable row for row, mirroring the ref side's
+                    # torch.manual_seed.
+                    kwargs["seed"] = 1000 * size + inst_idx
                 inst = ProblemInstance(instance_type="test", file_path=path,
                                        device=device)
                 inst.scale_coefs(solver.get_scaling_factor(inst.q_matrix))
                 t0 = time.time()
-                kwargs = {}
                 pp = POST_PROCESSOR[solver_name]
                 if pp is not None:
                     kwargs["post_processor"] = pp
