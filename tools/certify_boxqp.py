@@ -357,13 +357,22 @@ class _NodeLP:
         return -res.fun, x, err
 
 
-def certify(q, v, incumbent_val, incumbent_x, tol=1e-5,
+def certify(q, v, incumbent_val, incumbent_x, tol=1e-5, tol_rel=1e-6,
             max_nodes=200_000, max_seconds=600.0):
-    """Returns (proven, best_val, best_x, ub, nodes, wall)."""
+    """Returns (proven, best_val, best_x, ub, nodes, wall).
+
+    A node is fathomed when UB <= best + max(tol, tol_rel*|best|).  The
+    relative term matters at large N where objectives are O(500-1000):
+    the absolute default alone is ~100x stricter than Gurobi's own default
+    relative MIP gap (1e-4) that certified the reference's headers, and
+    time-capped runs were ending "unproven" with residuals of 4e-8
+    relative.
+    """
     n = q.shape[0]
     lp = _NodeLP(q, v)
     t0 = time.perf_counter()
     best_val, best_x = incumbent_val, incumbent_x
+    tol = max(tol, tol_rel * abs(incumbent_val))
 
     root_l, root_u = np.zeros(n), np.ones(n)
     ub, x_lp, err = lp.solve(root_l, root_u, rounds=lp.root_rounds,
