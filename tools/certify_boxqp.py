@@ -267,14 +267,18 @@ class _NodeLP:
         self.pool = [self.pool[i] for i in keep]
         self.pool_idle = [self.pool_idle[i] for i in keep]
 
-    def solve(self, l, u, rounds=None, stop_at=None):
+    def solve(self, l, u, rounds=None, stop_at=None, deadline=None):
         """Return (ub, x_lp, X_err) or (None,)*3 if the LP fails.
 
         Every solve includes the shared cut pool; newly separated triangle
         and eigenvalue cuts join the pool (globally valid, so later nodes
         reuse them).  ``rounds`` bounds the separation loop (more at the
         root, fewer at children).  ``stop_at``: stop separating as soon as
-        the bound already fathoms the node (UB <= stop_at).
+        the bound already fathoms the node (UB <= stop_at).  ``deadline``
+        (perf_counter timestamp): stop separating past it — without this,
+        ten root rounds at N>=60 (minutes of LP each with a large pool) can
+        dwarf the certify() max_seconds budget, which only governs the
+        B&B loop.
         """
         if rounds is None:
             rounds = self.node_rounds
@@ -334,6 +338,8 @@ class _NodeLP:
                 break
             if stop_at is not None and -res.fun <= stop_at:
                 break  # bound already fathoms this node
+            if deadline is not None and time.perf_counter() > deadline:
+                break  # out of separation budget; return the current bound
             cuts = self._separate_triangles(x, Xm)
             cuts += self._separate_eigen(x, Xm)
             if not cuts:
@@ -376,7 +382,8 @@ def certify(q, v, incumbent_val, incumbent_x, tol=1e-5, tol_rel=1e-6,
 
     root_l, root_u = np.zeros(n), np.ones(n)
     ub, x_lp, err = lp.solve(root_l, root_u, rounds=lp.root_rounds,
-                             stop_at=best_val + tol)
+                             stop_at=best_val + tol,
+                             deadline=t0 + 0.75 * max_seconds)
     if ub is None:
         return False, best_val, best_x, np.inf, 0, 0.0
     _, val = _active_set_polish(q, v, x_lp)
@@ -411,7 +418,8 @@ def certify(q, v, incumbent_val, incumbent_x, tol=1e-5, tol_rel=1e-6,
                 cu[bi] = split
             else:
                 cl[bi] = split
-            c_ub, c_x, c_err = lp.solve(cl, cu, stop_at=best_val + tol)
+            c_ub, c_x, c_err = lp.solve(cl, cu, stop_at=best_val + tol,
+                                        deadline=t0 + max_seconds)
             if c_ub is None or c_ub <= best_val + tol:
                 continue
             _, val = _active_set_polish(q, v, c_x)
