@@ -34,7 +34,16 @@ from ccvm_tpu.dynamics.common import AdamHyperparameters
 
 
 class DLParams(NamedTuple):
-    """Traced per-solve parameters (``dl_solver.py:96-115`` + call args)."""
+    """Traced per-solve parameters (``dl_solver.py:96-115`` + call args).
+
+    ``ramp_power``/``ramp_fraction`` generalise the reference's linear pump
+    ramp (a TPU-native extension; both ``None`` reproduces the reference
+    schedule exactly): rate(i) = min((i+1)/(fraction*T), 1)**power.  A
+    fraction < 1 gives a ramp-then-plateau schedule; power != 1 bends the
+    ramp (concave < 1 rises fast early, convex > 1 anneals slowly).  Kept
+    out of the reference's ``parameter_key`` validation for API parity;
+    set through ``DLSolver.__call__(pump_ramp=...)``.
+    """
 
     pump: jax.Array
     S: jax.Array  # user-facing saturation (clamp / change of variables)
@@ -45,6 +54,8 @@ class DLParams(NamedTuple):
     lower_limit: jax.Array
     upper_limit: jax.Array
     iterations: jax.Array
+    ramp_power: jax.Array | None = None
+    ramp_fraction: jax.Array | None = None
 
 
 def drift_saturation(p: DLParams, pump_is_gt_one: bool):
@@ -101,6 +112,25 @@ def noise_ratio_schedule(p: DLParams, i):
     return (p.noise_ratio - 1.0) * jnp.exp(-(i + 1.0) / p.iterations * 3.0) + 1.0
 
 
+def pump_rate_schedule(p: DLParams, i, pump_rate_flag: bool):
+    """Pump ramp rate(i) (reference ``dl_solver.py:524``: (i+1)/T).
+
+    With the generalised-ramp fields unset this is exactly the reference's
+    linear ramp (the ``None`` branch compiles the identical expression, so
+    default solves stay bit-identical and Pallas-kernel-eligible).
+    """
+    if not pump_rate_flag:
+        return jnp.float32(1.0)
+    rate = (i + 1.0) / p.iterations
+    if p.ramp_power is None and p.ramp_fraction is None:
+        return rate
+    if p.ramp_fraction is not None:
+        rate = jnp.minimum(rate / p.ramp_fraction, 1.0)
+    if p.ramp_power is not None:
+        rate = jnp.power(rate, p.ramp_power)
+    return rate
+
+
 def make_step(
     q_matrix, v_vector, p: DLParams, pump_rate_flag: bool, pump_is_gt_one: bool,
     matvec=common.dense_matvec,
@@ -110,7 +140,7 @@ def make_step(
 
     def step(state, i, key):
         c, s = state
-        rate = (i + 1.0) / p.iterations if pump_rate_flag else jnp.float32(1.0)
+        rate = pump_rate_schedule(p, i, pump_rate_flag)
         nr_i = noise_ratio_schedule(p, i)
         c_drift, s_drift = drift_boxqp(
             c, s, q_matrix, v_vector, p.pump, rate, p.feedback_scale,
@@ -144,9 +174,7 @@ def make_adam_step(
     def step(state, i, key):
         c, s, m_c, v_c, m_s, v_s = state
         # pump_rate includes the pump amplitude in the Adam path (:627-632)
-        pump_rate = (
-            p.pump * (i + 1.0) / p.iterations if pump_rate_flag else p.pump
-        )
+        pump_rate = p.pump * pump_rate_schedule(p, i, pump_rate_flag)
         nr_i = noise_ratio_schedule(p, i)
         c_grads, s_grads = grads_boxqp(
             c, s, q_matrix, v_vector, p.lower_limit, p.upper_limit, s_grad_sat,

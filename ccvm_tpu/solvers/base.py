@@ -294,15 +294,18 @@ class CCVMSolver(ABC):
     ### Shared TPU-side helpers ###
     ##############################
 
-    def _use_pallas(self, evolution_step_size, S, hp=None, hp_in_kernel=False):
+    def _use_pallas(self, evolution_step_size, S, hp=None, hp_in_kernel=False,
+                    extra_reasons=()):
         """Whether this solve runs the fused whole-solve Pallas kernel.
 
         One shared decision for all four façades.  When the user explicitly
         requested ``backend="pallas"`` but a feature forces the scanned lax
         path, the fallback is logged instead of silently degrading
         (``backend="auto"`` falls back quietly by design).
+        ``extra_reasons``: façade-specific lax-path features (e.g. DL's
+        generalised pump ramp).
         """
-        reasons = []
+        reasons = list(extra_reasons)
         if evolution_step_size:
             reasons.append("evolution sampling runs the scanned lax path")
         if np.ndim(S) != 0:

@@ -227,8 +227,21 @@ class DLSolver(CCVMSolver):
     # Solve paths                    #
     ##################################
 
-    def _make_params(self, pump, S, dt, noise_ratio, feedback_scale, g, iterations):
+    def _make_params(self, pump, S, dt, noise_ratio, feedback_scale, g, iterations,
+                     pump_ramp=None):
         lo, hi = self.solution_bounds
+        ramp_power = ramp_fraction = None
+        if pump_ramp is not None:
+            power, fraction = pump_ramp
+            if not (fraction > 0):
+                raise ValueError("pump_ramp fraction must be positive.")
+            if not (power > 0):
+                raise ValueError("pump_ramp power must be positive.")
+            # (1.0, 1.0) IS the reference schedule; normalise it back to the
+            # None fields so the default (kernel-eligible) path is taken.
+            if (power, fraction) != (1.0, 1.0):
+                ramp_power = np.float32(power)
+                ramp_fraction = np.float32(fraction)
         return dyn.DLParams(
             pump=np.float32(pump),
             S=np.asarray(S, np.float32),
@@ -239,6 +252,8 @@ class DLSolver(CCVMSolver):
             lower_limit=np.float32(lo),
             upper_limit=np.float32(hi),
             iterations=np.float32(iterations),
+            ramp_power=ramp_power,
+            ramp_fraction=ramp_fraction,
         )
 
     def _solve(
@@ -250,8 +265,12 @@ class DLSolver(CCVMSolver):
         # logs the reason instead of silently degrading.
         # hp_in_kernel: the DL Adam variant has a fused kernel (four
         # moment arrays in VMEM scratch), so Adam solves stay fused.
-        use_pallas = self._use_pallas(evolution_step_size, params.S, hp,
-                                      hp_in_kernel=True)
+        has_ramp = params.ramp_power is not None or params.ramp_fraction is not None
+        use_pallas = self._use_pallas(
+            evolution_step_size, params.S, hp, hp_in_kernel=True,
+            extra_reasons=("generalised pump_ramp runs the lax path",)
+            if has_ramp else (),
+        )
         if not evolution_step_size:
             if use_pallas:
                 from ccvm_tpu.ops import pallas_kernels as kernels
@@ -321,8 +340,16 @@ class DLSolver(CCVMSolver):
         evolution_file=None,
         algorithm_parameters=None,
         seed=None,
+        pump_ramp=None,
     ):
-        """Solve an instance (reference ``dl_solver.py:771-999``)."""
+        """Solve an instance (reference ``dl_solver.py:771-999``).
+
+        ``pump_ramp``: optional ``(power, fraction)`` generalising the linear
+        pump ramp to rate(i) = min((i+1)/(fraction*T), 1)**power — a
+        TPU-native extension (the reference has only the linear ramp,
+        ``dl_solver.py:524``); ``(1.0, 1.0)`` or ``None`` is the reference
+        schedule.  Non-default ramps run the scanned lax path.
+        """
         if instance.device != self.device:
             raise ValueError(
                 f"The device type of the instance ({instance.device}) and the solver"
@@ -368,7 +395,8 @@ class DLSolver(CCVMSolver):
                 evolution_file = f"./{instance.name}_evolution.txt"
 
         params = self._make_params(
-            pump, S, dt, noise_ratio, feedback_scale, g, iterations
+            pump, S, dt, noise_ratio, feedback_scale, g, iterations,
+            pump_ramp=pump_ramp,
         )
         pump_is_gt_one = bool(pump > 1)
         if seed is None:
