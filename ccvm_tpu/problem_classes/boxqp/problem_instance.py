@@ -75,6 +75,57 @@ def _energy_and_bound_kernel(confs, q_matrix, v_vector, scaled_by):
     return jnp.stack([e, a])
 
 
+def _apply_cv(pv, cv_mode, lo, hi, S):
+    """Change of variables fused into the readout dispatch.
+
+    Expressions are kept token-identical to the standalone maps
+    (``dynamics.common.change_variables_boxqp`` /
+    ``langevin_change_variables``).  XLA's fusion may still round kept-f32
+    energies slightly differently than the two-dispatch path — within the
+    per-row bound that triggers f64 re-evaluation, so readout statistics
+    are unchanged (tests/unit/test_readout_fusion.py).
+    """
+    if cv_mode == "boxqp":
+        return 0.5 * pv / S * (hi - lo) + 0.5 * (hi + lo)
+    if cv_mode == "langevin":
+        return (pv + S) / (2 * S)
+    raise ValueError(f"unknown change-of-variables mode {cv_mode!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("cv_mode",))
+def _cv_energy_and_bound_kernel(pv, q_matrix, v_vector, scaled_by,
+                                cv_mode, lo, hi, S):
+    """Change-of-variables + energies + rounding bound in ONE dispatch.
+
+    Measured honestly (docs/ROADMAP.md "small-batch dispatch latency"):
+    back-to-back dispatches PIPELINE through the TPU tunnel, so this
+    fusion is wall-neutral vs the two-dispatch epilogue (74 vs 76 ms
+    median at batch 1000, N=70, interleaved A/B).  What it still buys:
+    one fewer dispatch in the tunnel queue and no materialised (batch, n)
+    confs buffer — useful when many solves pipeline through one host."""
+    confs = _apply_cv(pv, cv_mode, lo, hi, S)
+    return _energy_and_bound_kernel(confs, q_matrix, v_vector, scaled_by)
+
+
+@functools.partial(jax.jit, static_argnames=("cv_mode",))
+def _cv_energy_kernel(pv, q_matrix, v_vector, scaled_by, cv_mode, lo, hi, S):
+    confs = _apply_cv(pv, cv_mode, lo, hi, S)
+    return _energy_kernel(confs, q_matrix, v_vector, scaled_by)
+
+
+@functools.partial(jax.jit, static_argnames=("cv_mode",))
+def _take_cv_kernel(pv, idx, cv_mode, lo, hi, S):
+    """Gather ambiguous readout rows and apply the device cv.
+
+    The rows are genuine f32 configurations cv(pv[idx]); their f64
+    energies replace the ambiguous fused-pass values.  The fused pass may
+    round kept-f32 rows slightly differently than this standalone cv, but
+    only within the per-row rounding bound that defines ambiguity — so no
+    gap statistic can differ between the fused and two-dispatch paths."""
+    rows = jnp.take(pv, idx, axis=0)
+    return _apply_cv(rows, cv_mode, lo, hi, S)
+
+
 def ambiguous_readout_rows(e, opt, n, abs_e=None, gap_margin=None, top_k=64):
     """Bool mask of rows a float32 energy pass cannot safely classify.
 
@@ -312,7 +363,8 @@ class ProblemInstance:
         e = 0.5 * np.sum(x * qx, axis=-1) + x @ v
         return e * scale
 
-    def compute_energy_readout64(self, confs, gap_margin=None, top_k=64):
+    def compute_energy_readout64(self, confs, gap_margin=None, top_k=64,
+                                 change_vars=None):
         """float64-grade readout energies with a device-side f32 first pass.
 
         ``compute_energy_host64`` transfers the FULL (batch, n) readout to
@@ -341,12 +393,36 @@ class ProblemInstance:
         Falls back to :meth:`compute_energy_host64` when no optimum is
         recorded (margin undefined) or under multi-process execution
         (shards not host-addressable).
+
+        ``change_vars``: optional ``(mode, lo, hi, S)`` with mode in
+        {"boxqp", "langevin"} and scalar ``S`` — fuses the solver's
+        change-of-variables map into the energy dispatch, so ``confs`` is
+        the RAW readout variable and the box-coordinate configurations
+        never cost their own dispatch or (batch, n) buffer.  Wall-neutral
+        through the pipelining TPU tunnel (measured — see
+        :func:`_cv_energy_and_bound_kernel`); readout statistics are
+        unchanged (rows whose f32 rounding could matter are re-evaluated
+        in f64 either way).
         """
         import jax
 
         confs = jnp.asarray(confs)
         opt = self.optimal_sol
+        cv = None
+        if change_vars is not None:
+            mode, lo, hi, S = change_vars
+            if np.ndim(S) != 0:
+                raise ValueError(
+                    "fused change_vars requires a scalar S (per-variable S "
+                    "rows cannot be gathered consistently); apply the "
+                    "change of variables before calling instead."
+                )
+            cv = (mode, jnp.float32(lo), jnp.float32(hi), jnp.float32(S))
         if opt is None or confs.ndim != 2 or jax.process_count() > 1:
+            if cv is not None:
+                confs = _take_cv_kernel(
+                    confs, jnp.arange(confs.shape[0]), cv[0], *cv[1:]
+                )
             return self.compute_energy_host64(np.asarray(confs))
 
         q, v = self._mesh_matched_coefs(confs)
@@ -354,18 +430,24 @@ class ProblemInstance:
             # One device dispatch and ONE transfer for the f32 energies and
             # their abs-value rounding-bound inputs (a second np.asarray
             # costs another tunnel round trip, ~10-30 ms).
-            both = np.asarray(
-                _energy_and_bound_kernel(
+            if cv is not None:
+                raw = _cv_energy_and_bound_kernel(
+                    confs, q, v, jnp.float32(self.scaled_by), cv[0], *cv[1:]
+                )
+            else:
+                raw = _energy_and_bound_kernel(
                     confs, q, v, jnp.float32(self.scaled_by)
-                ),
-                np.float64,
-            )
+                )
+            both = np.asarray(raw, np.float64)
             e, abs_e = both[0], both[1]
         else:
-            e = np.asarray(
-                _energy_kernel(confs, q, v, jnp.float32(self.scaled_by)),
-                np.float64,
-            )
+            if cv is not None:
+                raw = _cv_energy_kernel(
+                    confs, q, v, jnp.float32(self.scaled_by), cv[0], *cv[1:]
+                )
+            else:
+                raw = _energy_kernel(confs, q, v, jnp.float32(self.scaled_by))
+            e = np.asarray(raw, np.float64)
             abs_e = None
         near = ambiguous_readout_rows(
             e, opt, confs.shape[-1], abs_e=abs_e, gap_margin=gap_margin,
@@ -373,7 +455,12 @@ class ProblemInstance:
         )
         idx = np.flatnonzero(near)
         if idx.size:
-            rows = np.asarray(jnp.take(confs, jnp.asarray(idx), axis=0))
+            if cv is not None:
+                rows = np.asarray(
+                    _take_cv_kernel(confs, jnp.asarray(idx), cv[0], *cv[1:])
+                )
+            else:
+                rows = np.asarray(jnp.take(confs, jnp.asarray(idx), axis=0))
             e[idx] = self.compute_energy_host64(rows)
             # A kept-f32 row can undershoot the true (f64) best energy by up
             # to its rounding bound and steal max(-e); clamp kept rows to

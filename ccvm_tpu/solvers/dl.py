@@ -438,13 +438,24 @@ class DLSolver(CCVMSolver):
 
         # NOTE: the reference applies change_variables AGAIN to post-processed
         # output (dl_solver.py:941-958); preserved for behavioural parity.
-        confs = self.change_variables(problem_variables, lo, hi, params.S)
         # Float64 host readout energy: solution statistics need more than
         # float32 precision near the 0.1% gap; the mixed-precision readout
         # (compute_energy_readout64) keeps the big (batch, n) array on
         # device and transfers only the energies + boundary rows;
         # the device->host transfer doubles as the pipeline's single sync.
-        objval = instance.compute_energy_readout64(confs)
+        # With a scalar S the change of variables is FUSED into the energy
+        # dispatch — one fewer tunnel dispatch and no materialised confs
+        # buffer (wall-neutral: dispatches pipeline; measured in
+        # docs/ROADMAP.md).  DL never stores the box-coordinate confs in
+        # the Solution, so nothing else needs them.
+        if np.ndim(params.S) == 0:
+            objval = instance.compute_energy_readout64(
+                problem_variables,
+                change_vars=("boxqp", lo, hi, params.S),
+            )
+        else:
+            confs = self.change_variables(problem_variables, lo, hi, params.S)
+            objval = instance.compute_energy_readout64(confs)
 
         if self.timing == "async":
             solve_time = (time.time() - solve_time_start) / batch_size - pp_time
